@@ -1,0 +1,116 @@
+"""dpcx CLI: train / eval / predict / datagen / bench, each from a YAML.
+
+Reference parity: the argparse entry points in dpc/run/ (train_eval.py,
+predict_eval.py; SURVEY.md §2.2 #15, #17 and §5 "Serving/CLI"), unified into
+one console entry:
+
+    python -m dpcx.cli train   -f experiments/chair_gt_pose.yaml
+    python -m dpcx.cli eval    -f experiments/chair_gt_pose.yaml
+    python -m dpcx.cli predict -f experiments/chair_gt_pose.yaml -o preds.npz
+    python -m dpcx.cli datagen -f experiments/chair_gt_pose.yaml -n 200
+    python -m dpcx.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_cfg(args) -> "Config":
+    from dpcx.config import load_config
+
+    return load_config(args.config) if args.config else load_config()
+
+
+def cmd_train(args) -> None:
+    from dpcx.train import train
+
+    cfg = _load_cfg(args)
+    if args.steps:
+        cfg = cfg.replace(max_number_of_steps=args.steps)
+    _, history = train(cfg, num_models=args.num_models)
+    if history:
+        print(json.dumps(history[-1]))
+
+
+def cmd_eval(args) -> None:
+    import jax
+
+    from dpcx.data.dataset import load_or_make
+    from dpcx.predict import evaluate
+    from dpcx.train import (
+        _checkpoint_manager,
+        create_state,
+        restore_checkpoint,
+    )
+
+    cfg = _load_cfg(args)
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    state = restore_checkpoint(_checkpoint_manager(cfg), state)
+    ds = load_or_make(cfg, args.num_models, seed=cfg.seed + 1)  # held out
+    metrics = evaluate(cfg, state.params, ds)
+    print(json.dumps(metrics))
+
+
+def cmd_predict(args) -> None:
+    import jax
+
+    from dpcx.data.dataset import load_or_make
+    from dpcx.predict import predict_dataset
+    from dpcx.train import (
+        _checkpoint_manager,
+        create_state,
+        restore_checkpoint,
+    )
+
+    cfg = _load_cfg(args)
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    state = restore_checkpoint(_checkpoint_manager(cfg), state)
+    ds = load_or_make(cfg, args.num_models, seed=cfg.seed + 1)
+    out = predict_dataset(cfg, state.params, ds, out_path=args.out)
+    print(json.dumps({"num_models": len(out["points"]), "out": args.out}))
+
+
+def cmd_datagen(args) -> None:
+    from dpcx.data.dataset import load_or_make
+
+    cfg = _load_cfg(args)
+    ds = load_or_make(cfg, args.num_models, seed=cfg.seed)
+    print(
+        json.dumps(
+            {"models": ds.num_models, "views": ds.num_views,
+             "dir": cfg.data_dir}
+        )
+    )
+
+
+def cmd_bench(args) -> None:
+    import bench
+
+    bench.main()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="dpcx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [
+        ("train", cmd_train),
+        ("eval", cmd_eval),
+        ("predict", cmd_predict),
+        ("datagen", cmd_datagen),
+        ("bench", cmd_bench),
+    ]:
+        sp = sub.add_parser(name)
+        sp.add_argument("-f", "--config", default=None)
+        sp.add_argument("-n", "--num-models", type=int, default=200)
+        sp.add_argument("--steps", type=int, default=0)
+        sp.add_argument("-o", "--out", default="predictions.npz")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

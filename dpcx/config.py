@@ -1,0 +1,126 @@
+"""Config system: frozen dataclass defaults + YAML experiment overrides.
+
+Reference parity: dpc/util/app_config.py + experiments/*.yaml (SURVEY.md §2.2
+#19) — central flag defaults merged with a per-experiment YAML file, producing
+one ``cfg`` object threaded through every layer. Knob names match the
+reference where the concept carries over (``pc_num_points``, ``vox_size``,
+``pc_relative_sigma``, ``pose_predict_num_candidates``, ``pc_rgb``, ...) so
+reference experiment YAMLs port with minimal edits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- experiment identity ---
+    name: str = "default"
+    category: str = "chair"            # chair | car | airplane | synthetic
+    checkpoint_dir: str = "runs/default"
+
+    # --- point cloud / decoder (ref: dpc/nets/pc_decoder.py) ---
+    pc_num_points: int = 8000
+    pc_rgb: bool = False               # per-point RGB channels
+    predict_scale: bool = True         # global sigmoid scale on the cloud
+    pc_decoder_hidden: tuple[int, ...] = (1024, 1024, 1024)
+
+    # --- encoder (ref: dpc/nets/img_encoder.py) ---
+    image_size: int = 128
+    encoder_filters: tuple[int, ...] = (32, 64, 96, 128, 192)
+    latent_dim: int = 1024
+    fc_hidden: int = 1024
+
+    # --- renderer (ref: dpc/util/point_cloud.py, drc.py, gauss_kernel.py) ---
+    vox_size: int = 64                 # D: occupancy grid is D^3
+    focal_length: float = 1.875
+    camera_distance: float = 2.0
+    pc_relative_sigma: float = 0.05    # Gaussian sigma relative to grid extent
+    pc_relative_sigma_end: float = 0.016
+    sigma_anneal_steps: int = 100_000  # exponential sigma_start->sigma_end
+    gauss_kernel_truncate: float = 2.5 # kernel half-width in sigmas
+    proj_type: str = "drc"             # drc | sum (flag-gated, ref drc.py)
+    drc_logsum: bool = False           # log-space product variant
+    proj_depth: bool = False           # also render expected depth
+    pc_point_dropout: float = 0.1      # initial keep-prob (anneals to 1.0)
+    pc_point_dropout_steps: int = 50_000
+    renderer: str = "xla"              # xla | pallas (same interface)
+
+    # --- pose (ref: dpc/models/model_pc.py::predict_pose) ---
+    predict_pose: bool = False
+    pose_predict_num_candidates: int = 4
+    pose_student: bool = True
+    pose_student_weight: float = 20.0
+
+    # --- losses ---
+    proj_weight: float = 1.0
+    drc_weight: float = 0.0            # depth-projection loss weight
+    scale_weight: float = 0.0          # scale regularizer
+
+    # --- training (ref: dpc/run/train_eval.py) ---
+    batch_size: int = 16
+    num_views: int = 5                 # candidate projection views per model
+    views_per_step: int = 4            # views used for the loss each step
+    learning_rate: float = 1e-4
+    max_number_of_steps: int = 100_000
+    save_every: int = 2000
+    log_every: int = 100
+    seed: int = 0
+    compute_dtype: str = "bfloat16"    # encoder/decoder matmul dtype
+    renderer_dtype: str = "float32"    # splat/blur/DRC accumulate dtype
+
+    # --- data ---
+    dataset: str = "synthetic"         # synthetic | npz
+    data_dir: str = "data"
+    mask_size: int = 64                # projection/mask resolution (== D)
+
+    # --- parallelism (new capability; reference is single-GPU) ---
+    mesh_shape: tuple[int, ...] = (-1,)  # -1 = all devices, data-parallel
+    mesh_axes: tuple[str, ...] = ("data",)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def effective_mask_size(self) -> int:
+        return self.vox_size
+
+
+_TUPLE_FIELDS = {
+    f.name
+    for f in dataclasses.fields(Config)
+    if "tuple" in str(f.type)
+}
+
+
+def load_config(yaml_path: str | Path | None = None, **overrides: Any) -> Config:
+    """defaults <- YAML <- kwargs, mirroring app_config's flag merging."""
+    merged: dict[str, Any] = {}
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            loaded = yaml.safe_load(f) or {}
+        merged.update(loaded)
+    merged.update(overrides)
+    known = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(merged) - known
+    if unknown:
+        raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+    for k in list(merged):
+        if k in _TUPLE_FIELDS and isinstance(merged[k], list):
+            merged[k] = tuple(merged[k])
+    return Config(**merged)
+
+
+def save_config(cfg: Config, path: str | Path) -> None:
+    d = dataclasses.asdict(cfg)
+    for k, v in d.items():
+        if isinstance(v, tuple):
+            d[k] = list(v)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)

@@ -1,0 +1,19 @@
+"""Data pipeline: jit-compiled synthetic datagen + shard IO + batching.
+
+Replaces the reference's offline Blender multi-view rendering + tfrecord
+reader (SURVEY.md §2.2 #16, #22; §3.5): here dataset generation is a
+jit-compiled preprocessor (per BASELINE.json's north star) producing
+(image, mask, depth, camera-quaternion) tuples for V views per model, plus a
+dense GT point cloud for Chamfer eval (the reference's "densify" step).
+"""
+
+from dpcx.data.synthetic import make_dataset, sample_category_points
+from dpcx.data.dataset import Dataset, save_shards, load_shards
+
+__all__ = [
+    "make_dataset",
+    "sample_category_points",
+    "Dataset",
+    "save_shards",
+    "load_shards",
+]

@@ -1,0 +1,201 @@
+"""Procedural ShapeNet-like shapes + jit-compiled multi-view rendering.
+
+The reference ships Blender scripts that render 5 random views per ShapeNet
+model (RGB + mask + depth + camera) and a mesh "densify" step for GT eval
+clouds (SURVEY.md §2.2 #22, §3.5). This module is the TPU-native equivalent:
+shapes are unions of axis-aligned boxes with category-specific structure
+(chair / car / airplane), surface-sampled into point clouds entirely inside
+jit, and views are rendered with the dpcx renderer itself at high fidelity
+(dense GT cloud, small sigma, thresholded silhouette).
+
+Everything is deterministic in the PRNG key, so the "dataset" is a pure
+function of (seed, category, count) — no disk needed for tests, while
+dataset.py can persist shards for training runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dpcx.config import Config
+from dpcx.geometry.camera import camera_from_view_angles
+from dpcx.render.project import pointcloud_project
+
+# --- category templates: each shape = K boxes (center xyz, half-size xyz) ---
+# Randomization jitters the template params per model. All shapes fit in the
+# [-0.5, 0.5]^3 box, y-up, "front" facing +z (matches SURVEY.md camera setup).
+
+
+def _chair_boxes(u: jax.Array) -> jax.Array:
+    """u: [8] uniform(0,1) jitter -> [6, 6] boxes (4 legs, seat, back)."""
+    seat_h = 0.05 + 0.03 * u[0]
+    seat_w = 0.30 + 0.12 * u[1]
+    seat_d = 0.28 + 0.10 * u[2]
+    leg_h = 0.18 + 0.10 * u[3]
+    leg_t = 0.02 + 0.02 * u[4]
+    back_h = 0.25 + 0.15 * u[5]
+    back_t = 0.03 + 0.02 * u[6]
+    seat_y = -0.5 + 2 * leg_h + seat_h
+    lx, lz = seat_w - leg_t, seat_d - leg_t
+    legs = [
+        [sx * lx, -0.5 + leg_h, sz * lz, leg_t, leg_h, leg_t]
+        for sx in (-1, 1)
+        for sz in (-1, 1)
+    ]
+    seat = [0.0, seat_y, 0.0, seat_w, seat_h, seat_d]
+    back = [0.0, seat_y + seat_h + back_h, -(seat_d - back_t),
+            seat_w, back_h, back_t]
+    return jnp.asarray(legs + [seat, back])
+
+
+def _car_boxes(u: jax.Array) -> jax.Array:
+    body_h = 0.10 + 0.04 * u[0]
+    body_w = 0.18 + 0.06 * u[1]
+    body_l = 0.40 + 0.08 * u[2]
+    cab_h = 0.08 + 0.04 * u[3]
+    cab_l = body_l * (0.4 + 0.15 * u[4])
+    wheel_r = 0.05 + 0.02 * u[5]
+    body_y = -0.5 + 2 * wheel_r + body_h
+    body = [0.0, body_y, 0.0, body_w, body_h, body_l]
+    cabin = [0.0, body_y + body_h + cab_h, -0.05 * body_l,
+             body_w * 0.85, cab_h, cab_l]
+    wheels = [
+        [sx * body_w, -0.5 + wheel_r, sz * body_l * 0.6,
+         wheel_r * 0.5, wheel_r, wheel_r]
+        for sx in (-1, 1)
+        for sz in (-1, 1)
+    ]
+    return jnp.asarray([body, cabin] + wheels)
+
+
+def _airplane_boxes(u: jax.Array) -> jax.Array:
+    fus_r = 0.04 + 0.02 * u[0]
+    fus_l = 0.40 + 0.08 * u[1]
+    wing_span = 0.35 + 0.12 * u[2]
+    wing_c = 0.08 + 0.04 * u[3]
+    tail_span = wing_span * (0.35 + 0.1 * u[4])
+    fuselage = [0.0, 0.0, 0.0, fus_r, fus_r, fus_l]
+    wings = [0.0, 0.0, 0.05 * fus_l, wing_span, fus_r * 0.4, wing_c]
+    tail_h = [0.0, 0.0, -(fus_l - wing_c * 0.5), tail_span, fus_r * 0.4,
+              wing_c * 0.6]
+    tail_v = [0.0, fus_r + 0.06, -(fus_l - wing_c * 0.5), fus_r * 0.3, 0.06,
+              wing_c * 0.6]
+    # pad to 6 boxes so every category has static shape [6, 6]
+    pad = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    return jnp.asarray([fuselage, wings, tail_h, tail_v, pad, pad])
+
+
+_CATEGORY_FNS = {"chair": _chair_boxes, "car": _car_boxes,
+                 "airplane": _airplane_boxes}
+CATEGORIES = tuple(_CATEGORY_FNS)
+
+
+def _sample_box_surface(key: jax.Array, boxes: jax.Array, n: int) -> jax.Array:
+    """Sample n points on the union of box surfaces, area-weighted."""
+    kb, kf, ku = jax.random.split(key, 3)
+    half = boxes[:, 3:]  # [K, 3]
+    # face areas per box: 2*(hy*hz), 2*(hx*hz), 2*(hx*hy) pairs -> [K, 6]
+    ax = half[:, 1] * half[:, 2]
+    ay = half[:, 0] * half[:, 2]
+    az = half[:, 0] * half[:, 1]
+    areas = jnp.stack([ax, ax, ay, ay, az, az], axis=-1)  # [K, 6]
+    flat = areas.reshape(-1)
+    probs = flat / jnp.maximum(flat.sum(), 1e-9)
+    choice = jax.random.choice(kb, flat.shape[0], (n,), p=probs)
+    box_idx, face_idx = choice // 6, choice % 6
+    c, h = boxes[box_idx, :3], boxes[box_idx, 3:]
+    uv = jax.random.uniform(ku, (n, 2), minval=-1.0, maxval=1.0)
+    axis = face_idx // 2  # 0:x, 1:y, 2:z
+    sign = jnp.where(face_idx % 2 == 0, 1.0, -1.0)
+    # build local offset: fixed coord = sign*h[axis], others = uv*h
+    offs = jnp.zeros((n, 3))
+    for a in range(3):
+        others = [b for b in range(3) if b != a]
+        local = jnp.zeros((n, 3))
+        local = local.at[:, a].set(sign * h[:, a])
+        local = local.at[:, others[0]].set(uv[:, 0] * h[:, others[0]])
+        local = local.at[:, others[1]].set(uv[:, 1] * h[:, others[1]])
+        offs = jnp.where((axis == a)[:, None], local, offs)
+    return c + offs
+
+
+@partial(jax.jit, static_argnames=("category", "n"))
+def sample_category_points(
+    key: jax.Array, category: str, n: int = 16000
+) -> jax.Array:
+    """One model: random jitter + surface-sample -> GT dense cloud [n, 3].
+
+    This is the analogue of the reference's densified GT eval clouds.
+    """
+    kj, ks = jax.random.split(key)
+    u = jax.random.uniform(kj, (8,))
+    boxes = _CATEGORY_FNS[category](u)
+    return _sample_box_surface(ks, boxes, n)
+
+
+def _render_gt_views(
+    cfg: Config, points: jax.Array, quats: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Render GT masks + depths for all V views of one model.
+
+    Uses the dpcx renderer at small fixed sigma with a dense cloud, then
+    thresholds — the stand-in for Blender's rasterized masks.
+    """
+    V = quats.shape[0]
+    pts = jnp.tile(points[None], (V, 1, 1))
+    gt_cfg = cfg.replace(proj_depth=True, proj_type="drc")
+    out = pointcloud_project(
+        gt_cfg, pts, quats, jnp.asarray(1.0 / cfg.vox_size)
+    )
+    mask = (out.silhouette > 0.4).astype(jnp.float32)
+    depth = jnp.where(mask > 0, out.depth, 1.0)
+    return mask, depth
+
+
+@partial(jax.jit, static_argnames=("cfg", "category", "gt_points"))
+def make_model(
+    key: jax.Array, cfg: Config, category: str, gt_points: int = 16000
+) -> dict:
+    """One dataset record: V views of one randomized model.
+
+    Returns dict with images [V, H, W, 3] (depth-shaded renders), masks
+    [V, D, D], depths [V, D, D], quats [V, 4], gt_points [gt_points, 3].
+    """
+    kp, kv = jax.random.split(key)
+    points = sample_category_points(kp, category, gt_points)
+    ka, ke = jax.random.split(kv)
+    V = cfg.num_views
+    azim = jax.random.uniform(ka, (V,), minval=0.0, maxval=2 * jnp.pi)
+    elev = jax.random.uniform(ke, (V,), minval=0.1, maxval=0.6)
+    quats, _ = camera_from_view_angles(azim, elev, cfg.camera_distance)
+    masks, depths = _render_gt_views(cfg, points, quats)
+    # input image: depth-shaded silhouette, resized to image_size, 3 channels
+    shade = masks * (1.25 - (depths + 0.5))  # nearer -> brighter
+    img = jax.image.resize(
+        shade, (V, cfg.image_size, cfg.image_size), method="bilinear"
+    )
+    images = jnp.clip(img, 0.0, 1.0)[..., None] * jnp.ones((3,))
+    return {
+        "images": images,
+        "masks": masks,
+        "depths": depths,
+        "quats": quats,
+        "gt_points": points,
+    }
+
+
+def make_dataset(
+    cfg: Config, num_models: int, seed: int = 0, category: str | None = None,
+    gt_points: int = 16000,
+) -> dict:
+    """Stacked records for ``num_models`` models (host-side loop over the
+    jit-compiled per-model generator)."""
+    category = category or cfg.category
+    if category not in _CATEGORY_FNS:
+        category = "chair"
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_models)
+    records = [make_model(k, cfg, category, gt_points) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *records)

@@ -1,0 +1,191 @@
+"""Loss assembly: re-projection consistency + pose-ensemble machinery.
+
+Reference parity (SURVEY.md §2.2 #14, §3.4):
+- GT-pose configs: render the predicted cloud into every target view with the
+  known camera, squared-L2 silhouette loss vs the GT mask
+  (dpc/models/model_pc.py::get_loss / ::compute_projection).
+- Predicted-pose configs: tile K candidate quaternions, render K projections
+  per view, per-sample hard min over K (::proj_loss_pose_candidates) — only
+  the winning candidate receives projection gradients — plus the student
+  distillation loss toward the stop-gradient winner (::add_student_loss).
+- Optional depth-projection term and scale regularizer.
+
+Pose composition note: in predicted-pose mode the object-frame pose of the
+INPUT view is unknown but the relative transforms between views are known
+(camera rig), so the target-view camera is q_rel(v) * q_k with
+q_rel(v) = q_gt(v) * conj(q_gt(input)) — this mirrors the reference's use of
+GT relative view transforms with a predicted base pose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dpcx.config import Config
+from dpcx.geometry.quaternion import (
+    quaternion_conjugate,
+    quaternion_multiply,
+)
+from dpcx.render.project import (
+    keep_prob_schedule,
+    pointcloud_project,
+    sigma_schedule,
+)
+from dpcx.render.voxelize import pc_point_dropout_weights
+
+
+def _render_silhouettes(
+    cfg: Config,
+    points: jax.Array,
+    quats: jax.Array,
+    sigma_rel: jax.Array,
+    point_weights: jax.Array | None,
+) -> tuple[jax.Array, jax.Array | None]:
+    """points [M, N, 3], quats [M, 4] -> sil [M, D, D], depth or None."""
+    out = pointcloud_project(
+        cfg,
+        points,
+        quats,
+        sigma_rel,
+        point_weights=point_weights,
+        splat="matmul" if cfg.renderer == "pallas" else "scatter",
+    )
+    return out.silhouette, out.depth
+
+
+def _masked_depth_loss(
+    depth: jax.Array, gt_depth: jax.Array, gt_mask: jax.Array
+) -> jax.Array:
+    """L2 on depth inside the GT silhouette (per-sample mean)."""
+    w = gt_mask
+    se = w * (depth - gt_depth) ** 2
+    return se.sum(axis=(-2, -1)) / jnp.maximum(w.sum(axis=(-2, -1)), 1.0)
+
+
+def compute_loss(
+    cfg: Config,
+    preds: dict[str, jax.Array],
+    batch: dict[str, jax.Array],
+    step: jax.Array,
+    key: jax.Array,
+    train: bool = True,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Total training loss + metrics dict.
+
+    batch: image [B,H,W,3], masks [B,V,D,D], depths [B,V,D,D],
+    quats [B,V,4], quat_in [B,4] (input-view camera, predicted-pose mode).
+    """
+    points = preds["points"]  # [B, N, 3]
+    B, N, _ = points.shape
+    masks = batch["masks"]
+    V = masks.shape[1]
+    D = cfg.vox_size
+
+    sigma_rel = sigma_schedule(cfg, step)
+    point_weights = None
+    if train and cfg.pc_point_dropout < 1.0:
+        keep = keep_prob_schedule(cfg, step)
+        point_weights = pc_point_dropout_weights(key, B, N, keep)
+
+    metrics: dict[str, jax.Array] = {"sigma_rel": sigma_rel}
+    total = jnp.asarray(0.0)
+
+    if not cfg.predict_pose:
+        # --- GT pose: render B*V views in one batched call ---
+        pts = jnp.repeat(points, V, axis=0)  # [B*V, N, 3]
+        pw = (
+            None
+            if point_weights is None
+            else jnp.repeat(point_weights, V, axis=0)
+        )
+        quats = batch["quats"].reshape(B * V, 4)
+        sil, depth = _render_silhouettes(cfg, pts, quats, sigma_rel, pw)
+        sil = sil.reshape(B, V, D, D)
+        proj_loss = jnp.mean((sil - masks) ** 2)
+        total = total + cfg.proj_weight * proj_loss
+        metrics["loss_proj"] = proj_loss
+        if cfg.proj_depth and cfg.drc_weight > 0:
+            depth = depth.reshape(B, V, D, D)
+            d_loss = jnp.mean(
+                _masked_depth_loss(depth, batch["depths"], masks)
+            )
+            total = total + cfg.drc_weight * d_loss
+            metrics["loss_depth"] = d_loss
+        # IoU diagnostic on the first target view
+        pred_m = sil[:, 0] > 0.4
+        gt_m = masks[:, 0] > 0.5
+        inter = jnp.sum(pred_m & gt_m, axis=(-2, -1))
+        union = jnp.maximum(jnp.sum(pred_m | gt_m, axis=(-2, -1)), 1)
+        metrics["iou"] = jnp.mean(inter / union)
+    else:
+        # --- predicted pose: K candidates, hard-min selection ---
+        K = cfg.pose_predict_num_candidates
+        cand = preds["quats"]  # [B, K, 4]
+        q_in = batch["quat_in"]  # [B, 4]
+        q_rel = quaternion_multiply(
+            batch["quats"], quaternion_conjugate(q_in)[:, None, :]
+        )  # [B, V, 4]
+        # q_obj->cam_v for each (candidate, view): q_rel(v) * q_k
+        q_full = quaternion_multiply(
+            q_rel[:, None, :, :], cand[:, :, None, :]
+        )  # [B, K, V, 4]
+        pts = jnp.broadcast_to(
+            points[:, None, None], (B, K, V, N, 3)
+        ).reshape(B * K * V, N, 3)
+        pw = (
+            None
+            if point_weights is None
+            else jnp.broadcast_to(
+                point_weights[:, None, None], (B, K, V, N)
+            ).reshape(B * K * V, N)
+        )
+        sil, depth = _render_silhouettes(
+            cfg, pts, q_full.reshape(B * K * V, 4), sigma_rel, pw
+        )
+        sil = sil.reshape(B, K, V, D, D)
+        # per-sample per-candidate loss, averaged over views+pixels
+        l_k = jnp.mean((sil - masks[:, None]) ** 2, axis=(2, 3, 4))  # [B, K]
+        k_star = jnp.argmin(l_k, axis=1)  # [B]
+        proj_loss = jnp.mean(
+            jnp.take_along_axis(l_k, k_star[:, None], axis=1)
+        )
+        total = total + cfg.proj_weight * proj_loss
+        metrics["loss_proj"] = proj_loss
+        metrics["cand_spread"] = jnp.mean(l_k.max(axis=1) - l_k.min(axis=1))
+        if cfg.pose_student and "student_quat" in preds:
+            q_teacher = jax.lax.stop_gradient(
+                jnp.take_along_axis(
+                    cand, k_star[:, None, None], axis=1
+                ).squeeze(1)
+            )  # [B, 4]
+            dot = jnp.sum(preds["student_quat"] * q_teacher, axis=-1)
+            student_loss = jnp.mean(1.0 - dot**2)  # sign-invariant
+            total = total + cfg.pose_student_weight * student_loss
+            metrics["loss_student"] = student_loss
+        if cfg.proj_depth and cfg.drc_weight > 0:
+            depth = depth.reshape(B, K, V, D, D)
+            d_win = jnp.take_along_axis(
+                depth, k_star[:, None, None, None, None], axis=1
+            ).squeeze(1)
+            d_loss = jnp.mean(
+                _masked_depth_loss(d_win, batch["depths"], masks)
+            )
+            total = total + cfg.drc_weight * d_loss
+            metrics["loss_depth"] = d_loss
+        sil_win = jnp.take_along_axis(
+            sil, k_star[:, None, None, None, None], axis=1
+        ).squeeze(1)
+        pred_m = sil_win[:, 0] > 0.4
+        gt_m = masks[:, 0] > 0.5
+        inter = jnp.sum(pred_m & gt_m, axis=(-2, -1))
+        union = jnp.maximum(jnp.sum(pred_m | gt_m, axis=(-2, -1)), 1)
+        metrics["iou"] = jnp.mean(inter / union)
+
+    if cfg.predict_scale and cfg.scale_weight > 0 and "scale" in preds:
+        s_loss = jnp.mean((preds["scale"] - 0.7) ** 2)
+        total = total + cfg.scale_weight * s_loss
+        metrics["loss_scale"] = s_loss
+
+    metrics["loss_total"] = total
+    return total, metrics

@@ -1,0 +1,67 @@
+"""Model assembly: encoder -> (points, rgb, scale) + pose heads.
+
+Reference parity: dpc/models/model_pc.py::ModelPointCloud.model_predict and
+dpc/models/model_base.py (SURVEY.md §2.2 #14, §3.1): one forward produces the
+shape prediction and, in predicted-pose configs, K candidate quaternions plus
+the student quaternion. Loss assembly lives in dpcx.models.losses.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dpcx.config import Config
+from dpcx.nets.net_factory import get_network
+
+
+class ModelPointCloud(nn.Module):
+    cfg: Config
+
+    def setup(self) -> None:
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.encoder = get_network("img_encoder")(
+            filters=c.encoder_filters,
+            latent_dim=c.latent_dim,
+            fc_hidden=c.fc_hidden,
+            compute_dtype=dtype,
+        )
+        self.decoder = get_network("pc_decoder")(
+            num_points=c.pc_num_points,
+            hidden=c.pc_decoder_hidden,
+            predict_rgb=c.pc_rgb,
+            predict_scale=c.predict_scale,
+            compute_dtype=dtype,
+        )
+        if c.predict_pose:
+            self.pose_head = get_network("pose_head")(
+                num_candidates=c.pose_predict_num_candidates,
+                with_student=c.pose_student,
+                compute_dtype=dtype,
+            )
+
+    def __call__(self, images: jax.Array) -> dict[str, jax.Array]:
+        """images [B, H, W, 3] -> predictions.
+
+        Returns points [B, N, 3] (already scaled if predict_scale), plus
+        optional rgb [B, N, 3], scale [B, 1], quats [B, K, 4],
+        student_quat [B, 4].
+        """
+        enc = self.encoder(images)
+        dec = self.decoder(enc["latent"])
+        points = dec["points"]
+        out: dict[str, jax.Array] = {}
+        if "scale" in dec:
+            # global scale in (0, 1], biased toward 1 at init
+            scale = 0.4 + 0.6 * dec["scale"]
+            points = points * scale[..., None]
+            out["scale"] = scale
+        out["points"] = points
+        if "rgb" in dec:
+            out["rgb"] = dec["rgb"]
+        if self.cfg.predict_pose:
+            pose = self.pose_head(enc["pose_inp"])
+            out.update(pose)
+        return out

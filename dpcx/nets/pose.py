@@ -1,0 +1,58 @@
+"""Pose heads: K-candidate quaternion ensemble + student quaternion.
+
+Reference parity: dpc/models/model_pc.py::predict_pose (SURVEY.md §2.2 #12,
+§3.4): FC -> K x 4 candidate quaternions (K = pose_predict_num_candidates)
+plus one student quaternion trained by distillation from the min-loss
+("teacher") candidate. Quaternions are normalized here; candidate selection
+and the stop-gradient student loss live in dpcx.models.losses.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dpcx.geometry.quaternion import quaternion_normalize
+
+
+class PoseHead(nn.Module):
+    num_candidates: int = 4
+    with_student: bool = True
+    hidden: int = 256
+    predict_translation: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pose_inp: jax.Array) -> dict[str, jax.Array]:
+        """pose_inp [B, F] -> {"quats": [B, K, 4], "student_quat": [B, 4],
+        "translation"?: [B, K, 3]}."""
+        x = nn.leaky_relu(
+            nn.Dense(self.hidden, dtype=self.compute_dtype, name="fc0")(
+                pose_inp.astype(self.compute_dtype)
+            ),
+            0.2,
+        )
+        B = x.shape[0]
+        raw = nn.Dense(
+            self.num_candidates * 4, dtype=self.compute_dtype, name="fc_quats"
+        )(x)
+        # bias init keeps candidates near identity-but-distinct at start
+        quats = raw.astype(jnp.float32).reshape(B, self.num_candidates, 4)
+        quats = quats + jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        out = {"quats": quaternion_normalize(quats)}
+        if self.with_student:
+            sraw = nn.Dense(4, dtype=self.compute_dtype, name="fc_student")(x)
+            out["student_quat"] = quaternion_normalize(
+                sraw.astype(jnp.float32) + jnp.asarray([1.0, 0.0, 0.0, 0.0])
+            )
+        if self.predict_translation:
+            t = nn.Dense(
+                self.num_candidates * 3,
+                dtype=self.compute_dtype,
+                name="fc_trans",
+            )(x)
+            out["translation"] = 0.2 * jnp.tanh(
+                t.astype(jnp.float32)
+            ).reshape(B, self.num_candidates, 3)
+        return out

@@ -1,0 +1,100 @@
+"""Prediction + evaluation entries.
+
+Reference parity: dpc/run/predict_eval.py (SURVEY.md §2.2 #17, §3.2):
+restore the latest checkpoint, run the encoder/decoder forward per test
+image, dump clouds + predicted poses to disk (npz here, .mat in the
+reference), then compute Chamfer / pose metrics against densified GT clouds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpcx.config import Config
+from dpcx.data.dataset import Dataset
+from dpcx.eval.chamfer import chamfer_distance
+from dpcx.eval.pose_metrics import align_canonical_frame, pose_error_metrics
+from dpcx.models.model_pc import ModelPointCloud
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def predict_batch(
+    cfg: Config, params, images: jax.Array
+) -> dict[str, jax.Array]:
+    """images [B, H, W, 3] -> predictions (points, scale, pose)."""
+    model = ModelPointCloud(cfg)
+    preds = model.apply(params, images)
+    if cfg.predict_pose and "student_quat" in preds:
+        preds["pose"] = preds["student_quat"]
+    return preds
+
+
+def predict_dataset(
+    cfg: Config,
+    params,
+    dataset: Dataset,
+    view_idx: int = 0,
+    batch_size: int = 16,
+    out_path: str | Path | None = None,
+) -> dict[str, np.ndarray]:
+    """Forward the whole test set; optionally dump predictions to npz."""
+    M = dataset.num_models
+    all_points, all_poses, all_scales = [], [], []
+    for start in range(0, M, batch_size):
+        idx = np.arange(start, min(start + batch_size, M))
+        # pad the tail so jit sees a fixed batch shape
+        pad = batch_size - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        eb = dataset.eval_batch(idx_p, view_idx)
+        preds = predict_batch(
+            cfg, params, jnp.asarray(eb["image"], jnp.float32)
+        )
+        all_points.append(np.asarray(preds["points"])[: len(idx)])
+        if "pose" in preds:
+            all_poses.append(np.asarray(preds["pose"])[: len(idx)])
+        if "scale" in preds:
+            all_scales.append(np.asarray(preds["scale"])[: len(idx)])
+    out = {"points": np.concatenate(all_points)}
+    if all_poses:
+        out["pose"] = np.concatenate(all_poses)
+    if all_scales:
+        out["scale"] = np.concatenate(all_scales)
+    if out_path is not None:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(out_path, **out)
+    return out
+
+
+def evaluate(
+    cfg: Config,
+    params,
+    dataset: Dataset,
+    view_idx: int = 0,
+    batch_size: int = 16,
+) -> dict[str, float]:
+    """Chamfer (+ pose) eval over a dataset (ref: predict_eval protocol)."""
+    preds = predict_dataset(cfg, params, dataset, view_idx, batch_size)
+    gt = jnp.asarray(dataset.records["gt_points"], jnp.float32)
+    pred_pts = jnp.asarray(preds["points"], jnp.float32)
+    cd = chamfer_distance(pred_pts, gt)
+    metrics = {
+        "chamfer": float(jnp.mean(cd["chamfer"])),
+        "chamfer_pred_to_gt": float(jnp.mean(cd["pred_to_gt"])),
+        "chamfer_gt_to_pred": float(jnp.mean(cd["gt_to_pred"])),
+    }
+    if "pose" in preds:
+        gt_quats = jnp.asarray(
+            dataset.records["quats"][:, view_idx], jnp.float32
+        )
+        pred_quats = jnp.asarray(preds["pose"], jnp.float32)
+        # unsupervised pose is defined up to a global canonical rotation
+        _, aligned = align_canonical_frame(pred_quats, gt_quats)
+        pm = pose_error_metrics(aligned, gt_quats)
+        metrics["pose_acc_30deg"] = float(pm["acc_30deg"])
+        metrics["pose_median_err_deg"] = float(pm["median_err_deg"])
+    return metrics

@@ -1,0 +1,156 @@
+"""Fused projection driver: transform -> splat -> blur -> DRC.
+
+Reference parity: dpc/util/point_cloud.py::pointcloud_project_fast
+(SURVEY.md §2.2 #4) — composes the four renderer stages and returns the
+projection plus intermediates. Also hosts the sigma anneal and point-dropout
+schedules (reference: global-step-driven schedules in model/train code).
+
+The ``renderer`` switch selects the pure-XLA oracle path ("xla") or the fused
+Pallas TPU kernel ("pallas") behind the identical interface; both produce
+silhouettes that agree to fp32 tolerance (tests/test_pallas_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dpcx.config import Config
+from dpcx.render.drc import drc_projection, sum_projection
+from dpcx.render.gauss import kernel_radius, smoothen_voxels3d
+from dpcx.render.transform import pc_perspective_transform
+from dpcx.render.voxelize import (
+    pointcloud2voxels_matmul,
+    pointcloud2voxels_scatter,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOut:
+    """Renderer outputs: projection [B, Y, X], optional depth, voxel grid."""
+
+    silhouette: jax.Array
+    depth: jax.Array | None = None
+    voxels: jax.Array | None = None
+    rgb: jax.Array | None = None
+
+
+def sigma_schedule(cfg: Config, step: jax.Array) -> jax.Array:
+    """Exponential coarse->fine anneal of the relative Gaussian sigma.
+
+    Ref: sigma annealing by global step in dpc train/model code (SURVEY.md
+    §2.2 #5, #15).
+    """
+    frac = jnp.clip(
+        step.astype(jnp.float32) / max(cfg.sigma_anneal_steps, 1), 0.0, 1.0
+    )
+    log_s0 = jnp.log(cfg.pc_relative_sigma)
+    log_s1 = jnp.log(cfg.pc_relative_sigma_end)
+    return jnp.exp(log_s0 + (log_s1 - log_s0) * frac)
+
+
+def keep_prob_schedule(cfg: Config, step: jax.Array) -> jax.Array:
+    """Linear ramp of point-dropout keep-prob from initial value to 1.0."""
+    frac = jnp.clip(
+        step.astype(jnp.float32) / max(cfg.pc_point_dropout_steps, 1),
+        0.0,
+        1.0,
+    )
+    return cfg.pc_point_dropout + (1.0 - cfg.pc_point_dropout) * frac
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "return_voxels", "splat"),
+)
+def pointcloud_project(
+    cfg: Config,
+    points: jax.Array,
+    quat: jax.Array,
+    sigma_rel: jax.Array,
+    point_weights: jax.Array | None = None,
+    rgb: jax.Array | None = None,
+    translation: jax.Array | None = None,
+    return_voxels: bool = False,
+    splat: str = "scatter",
+) -> RenderOut:
+    """Project world-frame clouds [B, N, 3] through cameras [B, 4].
+
+    ``splat`` chooses the XLA splat formulation ("scatter" oracle vs
+    "matmul" MXU path); the Pallas fused kernel lives in pallas_kernel.py and
+    is dispatched by the model layer when cfg.renderer == "pallas".
+    """
+    dtype = jnp.dtype(cfg.renderer_dtype)
+    points = points.astype(dtype)
+    quat = quat.astype(dtype)
+    D = cfg.vox_size
+
+    ndc = pc_perspective_transform(
+        points,
+        quat,
+        focal_length=cfg.focal_length,
+        camera_distance=cfg.camera_distance,
+        translation=None if translation is None else translation.astype(dtype),
+    )
+
+    radius = kernel_radius(
+        cfg.pc_relative_sigma, D, cfg.gauss_kernel_truncate
+    )
+    sigma_vox = jnp.asarray(sigma_rel, dtype) * D
+
+    if (
+        cfg.renderer == "pallas"
+        and rgb is None
+        and cfg.proj_type == "drc"
+        and not return_voxels
+    ):
+        # fused TPU kernel path (stage 2-4 in one pallas_call)
+        from dpcx.render.pallas_kernel import pallas_project
+
+        sil, depth = pallas_project(
+            ndc,
+            D,
+            sigma_vox,
+            radius,
+            point_weights=point_weights,
+            with_depth=cfg.proj_depth,
+        )
+        return RenderOut(silhouette=sil, depth=depth)
+
+    rgb_grid = None
+    if rgb is not None:
+        grid, rgb_grid = pointcloud2voxels_scatter(
+            ndc, D, point_weights=point_weights, rgb=rgb.astype(dtype)
+        )
+    elif splat == "matmul":
+        grid = pointcloud2voxels_matmul(ndc, D, point_weights=point_weights)
+    else:
+        grid = pointcloud2voxels_scatter(ndc, D, point_weights=point_weights)
+
+    grid = smoothen_voxels3d(grid, sigma_vox, radius)
+
+    if cfg.proj_type == "drc":
+        sil, depth = drc_projection(
+            grid, logsum=cfg.drc_logsum, with_depth=cfg.proj_depth
+        )
+    else:
+        sil, depth = sum_projection(grid)
+
+    rgb_proj = None
+    if rgb_grid is not None:
+        # Expected color along each ray, weighted by stop probabilities.
+        from dpcx.render.drc import drc_event_probabilities
+
+        p_stop, _ = drc_event_probabilities(grid, logsum=cfg.drc_logsum)
+        rgb_proj = jnp.einsum("bzyx,bzyxc->byxc", p_stop, rgb_grid)
+
+    return RenderOut(
+        silhouette=sil,
+        depth=depth,
+        voxels=grid if return_voxels else None,
+        rgb=rgb_proj,
+    )

@@ -1,0 +1,198 @@
+"""Training loop: Adam, jit + data-parallel mesh, Orbax checkpoints, metrics.
+
+Reference parity: dpc/run/train_eval.py (SURVEY.md §2.2 #15, #20, #21, §3.1):
+tf.data -> ModelPointCloud -> Adam(1e-4) -> session loop with global-step
+schedules (sigma anneal, point dropout), Saver checkpoints and summaries.
+
+TPU-native differences:
+- the whole step (fwd + renderer + bwd + Adam update) is ONE jitted function;
+  the host crosses the device boundary once per step, as the reference's
+  sess.run did, but with donated buffers so params update in place;
+- batch is sharded over the ICI data mesh; XLA inserts the grad all-reduce
+  (SURVEY.md §2.3);
+- checkpoint/resume via Orbax (auto-resume from latest step, SURVEY.md §5);
+- metrics go to JSONL (+ stdout), the lightweight stand-in for tf.summary.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from dpcx.config import Config
+from dpcx.data.dataset import Dataset, load_or_make
+from dpcx.models.losses import compute_loss
+from dpcx.models.model_pc import ModelPointCloud
+from dpcx.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState; schedules are pure functions of .step, so no extra
+    mutable state is carried (sigma/dropout recompute from step on resume)."""
+
+
+def create_state(cfg: Config, rng: jax.Array) -> TrainState:
+    model = ModelPointCloud(cfg)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = model.init(rng, dummy)
+    tx = optax.adam(cfg.learning_rate)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_step(
+    cfg: Config,
+    state: TrainState,
+    batch: dict[str, jax.Array],
+    key: jax.Array,
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """One fully-fused training step (fwd + render + bwd + Adam)."""
+    step_key = jax.random.fold_in(key, state.step)
+
+    def loss_fn(params):
+        preds = state.apply_fn(params, batch["image"])
+        return compute_loss(
+            cfg, preds, batch, state.step, step_key, train=True
+        )
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads=grads)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+class MetricWriter:
+    """JSONL + stdout metric logging (stand-in for tf.summary scalars)."""
+
+    def __init__(self, log_dir: str | Path):
+        self.path = Path(log_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def write(self, step: int, metrics: dict[str, Any]) -> None:
+        rec = {"step": step}
+        for k, v in metrics.items():
+            rec[k] = float(np.asarray(v))
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _checkpoint_manager(cfg: Config):
+    import orbax.checkpoint as ocp
+
+    path = Path(cfg.checkpoint_dir).absolute() / "ckpt"
+    path.mkdir(parents=True, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=3, create=True)
+    return ocp.CheckpointManager(path, options=options)
+
+
+def save_checkpoint(mngr, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    mngr.save(
+        int(state.step),
+        args=ocp.args.StandardSave(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": int(state.step)}
+        ),
+    )
+
+
+def restore_checkpoint(mngr, state: TrainState) -> TrainState:
+    """Auto-resume from the latest step if a checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    latest = mngr.latest_step()
+    if latest is None:
+        return state
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": 0}
+    restored = mngr.restore(
+        latest, args=ocp.args.StandardRestore(target)
+    )
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"]),
+    )
+
+
+def train(
+    cfg: Config,
+    dataset: Dataset | None = None,
+    num_models: int = 200,
+    max_steps: int | None = None,
+    mesh=None,
+    use_checkpoints: bool = True,
+) -> tuple[TrainState, list[dict]]:
+    """Full training entry (ref: dpc/run/train_eval.py::main)."""
+    mesh = mesh or make_mesh(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_state(cfg, rng)
+    mngr = _checkpoint_manager(cfg) if use_checkpoints else None
+    if mngr is not None:
+        state = restore_checkpoint(mngr, state)
+
+    if dataset is None:
+        dataset = load_or_make(cfg, num_models, seed=cfg.seed)
+
+    writer = MetricWriter(cfg.checkpoint_dir)
+    np_rng = np.random.default_rng(cfg.seed + int(state.step))
+    data_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    max_steps = max_steps or cfg.max_number_of_steps
+    history: list[dict] = []
+    t0 = time.time()
+    start_step = int(state.step)
+    for step in range(start_step, max_steps):
+        batch = dataset.batch(np_rng, cfg.batch_size)
+        batch = _prep_batch(batch, cfg)
+        batch = shard_batch(batch, mesh)
+        state, metrics = train_step(cfg, state, batch, data_key)
+        if (step + 1) % cfg.log_every == 0 or step == start_step:
+            metrics = jax.device_get(metrics)
+            sps = (step + 1 - start_step) / max(time.time() - t0, 1e-9)
+            metrics["steps_per_sec"] = sps
+            writer.write(step + 1, metrics)
+            history.append({"step": step + 1, **{
+                k: float(np.asarray(v)) for k, v in metrics.items()}})
+        if mngr is not None and (step + 1) % cfg.save_every == 0:
+            save_checkpoint(mngr, state)
+    if mngr is not None:
+        save_checkpoint(mngr, state)
+        mngr.wait_until_finished()
+    writer.close()
+    return state, history
+
+
+def _prep_batch(batch: dict, cfg: Config) -> dict:
+    """numpy batch -> jnp with the fields the loss expects."""
+    out = {
+        "image": jnp.asarray(batch["image"], jnp.float32),
+        "masks": jnp.asarray(batch["masks"], jnp.float32),
+        "quats": jnp.asarray(batch["quats"], jnp.float32),
+    }
+    if "depths" in batch:
+        out["depths"] = jnp.asarray(batch["depths"], jnp.float32)
+    if cfg.predict_pose:
+        # input-view camera for relative-pose composition
+        out["quat_in"] = jnp.asarray(
+            batch.get("quat_in", batch["quats"][:, 0]), jnp.float32
+        )
+    return out

@@ -1,0 +1,23 @@
+"""Test harness config: run everything on CPU with 8 virtual devices.
+
+SURVEY.md §4 items 4-5: Pallas kernels run with interpret=True on CPU, and
+multi-device (DP/psum) tests use XLA's host-platform device-count override —
+the JAX analogue of a fake distributed backend. Must be set before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,63 @@
+"""Synthetic datagen + dataset reader tests (SURVEY.md §4 item 6 fixtures)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpcx.config import Config
+from dpcx.data.dataset import Dataset, load_shards, save_shards
+from dpcx.data.synthetic import (
+    CATEGORIES,
+    make_dataset,
+    make_model,
+    sample_category_points,
+)
+
+CFG = Config(vox_size=12, image_size=32, num_views=3, views_per_step=2)
+
+
+def test_category_points_in_box():
+    for cat in CATEGORIES:
+        pts = sample_category_points(jax.random.PRNGKey(0), cat, 500)
+        assert pts.shape == (500, 3)
+        assert float(jnp.abs(pts).max()) <= 0.55, cat
+
+
+def test_make_model_record():
+    rec = make_model(jax.random.PRNGKey(1), CFG, "chair", gt_points=800)
+    V, D, H = CFG.num_views, CFG.vox_size, CFG.image_size
+    assert rec["images"].shape == (V, H, H, 3)
+    assert rec["masks"].shape == (V, D, D)
+    assert rec["depths"].shape == (V, D, D)
+    assert rec["quats"].shape == (V, 4)
+    # masks are binary and non-trivial
+    m = np.asarray(rec["masks"])
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert 0.01 < m.mean() < 0.9
+    # images normalized
+    assert float(rec["images"].max()) <= 1.0 + 1e-5
+
+
+def test_dataset_batching_and_io(tmp_path):
+    records = make_dataset(CFG, 3, seed=0, gt_points=400)
+    ds = Dataset(records, CFG)
+    rng = np.random.default_rng(0)
+    b = ds.batch(rng, 4)
+    assert b["image"].shape == (4, CFG.image_size, CFG.image_size, 3)
+    assert b["masks"].shape == (4, CFG.views_per_step, CFG.vox_size,
+                                CFG.vox_size)
+    assert b["quat_in"].shape == (4, 4)
+
+    p = tmp_path / "shard.npz"
+    save_shards(records, p)
+    loaded = load_shards(p)
+    np.testing.assert_allclose(loaded["masks"], np.asarray(records["masks"]))
+
+    eb = ds.eval_batch(np.asarray([0, 1]))
+    assert eb["gt_points"].shape == (2, 400, 3)
+
+
+def test_datagen_deterministic():
+    r1 = make_model(jax.random.PRNGKey(7), CFG, "car", gt_points=200)
+    r2 = make_model(jax.random.PRNGKey(7), CFG, "car", gt_points=200)
+    np.testing.assert_allclose(r1["masks"], r2["masks"])

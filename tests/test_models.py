@@ -1,0 +1,162 @@
+"""Model + loss unit tests: shapes, hard-min gradient gating, student loss,
+eval metrics (SURVEY.md §4 items 2-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpcx.config import Config
+from dpcx.eval.chamfer import chamfer_distance, directed_distance
+from dpcx.eval.pose_metrics import pose_error_metrics
+from dpcx.models.losses import compute_loss
+from dpcx.models.model_pc import ModelPointCloud
+
+TINY = Config(
+    vox_size=12,
+    pc_num_points=64,
+    image_size=32,
+    encoder_filters=(8, 16),
+    latent_dim=32,
+    fc_hidden=32,
+    pc_decoder_hidden=(32,),
+    views_per_step=2,
+    num_views=2,
+    pc_point_dropout=1.0,
+)
+
+
+def _fake_batch(cfg, B=2):
+    key = jax.random.PRNGKey(0)
+    D, V = cfg.vox_size, cfg.views_per_step
+    return {
+        "image": jax.random.uniform(key, (B, cfg.image_size, cfg.image_size, 3)),
+        "masks": (jax.random.uniform(key, (B, V, D, D)) > 0.7).astype(
+            jnp.float32
+        ),
+        "depths": jnp.zeros((B, V, D, D)),
+        "quats": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, V, 1)),
+        "quat_in": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1)),
+    }
+
+
+def test_model_forward_shapes():
+    model = ModelPointCloud(TINY)
+    B = 2
+    img = jnp.zeros((B, TINY.image_size, TINY.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    preds = model.apply(params, img)
+    assert preds["points"].shape == (B, TINY.pc_num_points, 3)
+    assert preds["scale"].shape == (B, 1)
+    assert float(jnp.abs(preds["points"]).max()) <= 0.5
+
+
+def test_model_pose_forward():
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=3)
+    model = ModelPointCloud(cfg)
+    img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    preds = model.apply(params, img)
+    assert preds["quats"].shape == (2, 3, 4)
+    assert preds["student_quat"].shape == (2, 4)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(preds["quats"], axis=-1), 1.0, rtol=1e-5
+    )
+
+
+def test_loss_gt_pose_runs_and_grads():
+    model = ModelPointCloud(TINY)
+    batch = _fake_batch(TINY)
+    params = model.init(jax.random.PRNGKey(0), batch["image"])
+
+    def loss_fn(p):
+        preds = model.apply(p, batch["image"])
+        loss, _ = compute_loss(
+            TINY, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert jnp.isfinite(loss)
+    leaves = jax.tree.leaves(grads)
+    assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_hard_min_gates_gradients():
+    """Only the winning pose candidate receives projection gradients."""
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                       pose_student=False)
+    B, N, D, V = 1, 16, cfg.vox_size, cfg.views_per_step
+    points = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, N, 3), minval=-0.3, maxval=0.3
+    )
+    batch = _fake_batch(cfg, B=B)
+    # candidate 0 = identity (good), candidate 1 = far rotation (bad)
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+
+    def loss_fn(q):
+        preds = {"points": points, "quats": q}
+        loss, m = compute_loss(
+            cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        return loss, m
+
+    # render with identity-candidate silhouette close to the mask by making
+    # masks equal to the identity projection
+    from dpcx.render.project import pointcloud_project, sigma_schedule
+
+    sil = pointcloud_project(
+        cfg, jnp.tile(points, (V, 1, 1)),
+        jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (V, 1)),
+        sigma_schedule(cfg, jnp.asarray(0)),
+    ).silhouette
+    batch["masks"] = sil[None]
+
+    (loss, m), g = jax.value_and_grad(loss_fn, has_aux=True)(quats)
+    # winner = candidate 0 -> zero grad on candidate 1's quaternion
+    assert float(jnp.abs(g[0, 1]).max()) == 0.0
+    assert float(jnp.abs(g[0, 0]).max()) >= 0.0
+
+
+def test_student_loss_pulls_to_winner():
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                       pose_student=True, pose_student_weight=1.0)
+    batch = _fake_batch(cfg, B=1)
+    points = jnp.zeros((1, 16, 3))
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+    student = jnp.asarray([[0.7, 0.7, 0.0, 0.0]])
+    preds = {"points": points, "quats": quats,
+             "student_quat": student / jnp.linalg.norm(student)}
+    _, metrics = compute_loss(
+        cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert "loss_student" in metrics
+    assert float(metrics["loss_student"]) > 0.0
+
+
+def test_chamfer_identity_zero():
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 100, 3))
+    cd = chamfer_distance(pts, pts)
+    np.testing.assert_allclose(cd["chamfer"], 0.0, atol=1e-5)
+
+
+def test_chamfer_known_offset():
+    a = jnp.zeros((1, 10, 3))
+    b = jnp.full((1, 10, 3), 0.1)  # dist^2 = 3 * 0.01 = 0.03
+    d = directed_distance(a, b)
+    np.testing.assert_allclose(d, 0.03, rtol=1e-4)
+
+
+def test_chamfer_chunking_consistent():
+    a = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(2), (1, 100, 3))
+    d1 = directed_distance(a, b, chunk=16)
+    d2 = directed_distance(a, b, chunk=100)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+def test_pose_metrics():
+    q = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (10, 1))
+    m = pose_error_metrics(q, q)
+    np.testing.assert_allclose(m["acc_30deg"], 1.0)
+    np.testing.assert_allclose(m["median_err_deg"], 0.0, atol=1e-3)
