@@ -50,6 +50,12 @@ class Config:
     pc_point_dropout: float = 0.1      # initial keep-prob (anneals to 1.0)
     pc_point_dropout_steps: int = 50_000
     renderer: str = "xla"              # xla | pallas (same interface)
+    pallas_acc_dtype: str = "float32"  # matmul operand dtype in the fused
+                                       # kernel: float32 (parity) | bfloat16
+                                       # (perf; fp32 accumulate either way)
+    xla_splat: str = "auto"            # scatter | matmul | auto (matmul on
+                                       # TPU — scatter-add serializes badly
+                                       # there — scatter oracle on CPU)
 
     # --- pose (ref: dpc/models/model_pc.py::predict_pose) ---
     predict_pose: bool = False

@@ -31,12 +31,12 @@ from dpcx.render.project import pointcloud_project
 
 def _chair_boxes(u: jax.Array) -> jax.Array:
     """u: [8] uniform(0,1) jitter -> [6, 6] boxes (4 legs, seat, back)."""
-    seat_h = 0.05 + 0.03 * u[0]
-    seat_w = 0.30 + 0.12 * u[1]
-    seat_d = 0.28 + 0.10 * u[2]
-    leg_h = 0.18 + 0.10 * u[3]
+    seat_h = 0.04 + 0.02 * u[0]
+    seat_w = 0.26 + 0.10 * u[1]
+    seat_d = 0.24 + 0.08 * u[2]
+    leg_h = 0.12 + 0.06 * u[3]
     leg_t = 0.02 + 0.02 * u[4]
-    back_h = 0.25 + 0.15 * u[5]
+    back_h = 0.15 + 0.08 * u[5]
     back_t = 0.03 + 0.02 * u[6]
     seat_y = -0.5 + 2 * leg_h + seat_h
     lx, lz = seat_w - leg_t, seat_d - leg_t

@@ -43,13 +43,16 @@ def _render_silhouettes(
     point_weights: jax.Array | None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """points [M, N, 3], quats [M, 4] -> sil [M, D, D], depth or None."""
+    splat = cfg.xla_splat
+    if splat == "auto":
+        splat = "matmul" if jax.default_backend() == "tpu" else "scatter"
     out = pointcloud_project(
         cfg,
         points,
         quats,
         sigma_rel,
         point_weights=point_weights,
-        splat="matmul" if cfg.renderer == "pallas" else "scatter",
+        splat=splat,
     )
     return out.silhouette, out.depth
 

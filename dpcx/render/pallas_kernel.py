@@ -1,34 +1,41 @@
 """Fused Pallas TPU kernel: trilinear splat -> Gaussian blur -> DRC project.
 
-This is the framework's one native-performance component (SURVEY.md §2.4):
-the TPU-idiomatic replacement for the reference's scatter_nd + conv3d +
-cumprod chain (dpc/util/point_cloud.py::pointcloud2voxels3d_fast,
+This is the framework's native-performance component (SURVEY.md §2.4): the
+TPU-idiomatic replacement for the reference's scatter_nd + conv3d + cumprod
+chain (dpc/util/point_cloud.py::pointcloud2voxels3d_fast,
 ::smoothen_voxels3d, dpc/util/drc.py::drc_projection), fused so the D^3
 occupancy grid lives only in VMEM and never round-trips HBM.
 
-Algorithm (one grid program per batch sample):
+Design (one grid program per batch sample):
 
 1. SPLAT — TPU has no atomic scatter, so the trilinear splat is a dense
-   contraction (see voxelize.pointcloud2voxels_matmul):
-       grid[z, y, x] = sum_n Wz[n,z] * Wy[n,y] * Wx[n,x]
-   with hat weights W*[n,i] = relu(1 - |g_n - i|) built in-register from a
-   broadcasted iota. Z-slabs are processed in groups of G (G*D lanes-worth of
-   output per matmul so the 128x128 MXU tiles are filled), and points in
-   chunks of C to bound VMEM:
-       A[n, g*D + y] = Wz[n, z_g] * Wy[n, y]         (VPU, chunk-local)
-       grid[z_g.., :, :] += A^T @ Wx                  (MXU, K = C)
-2. BLUR — separable Gaussian as three Toeplitz matmuls with K [D, D]
-   (values traced, so sigma annealing never recompiles): per-slab
-   K^T @ (slab @ K), then one [D, D*D] contraction along z.
+   contraction per z-window (see voxelize.pointcloud2voxels_matmul for the
+   dense oracle form):
+       grid[z, y, x] = sum_n Wz[n,z] * Wy[n,y] * Wx[n,x],
+       W*[n,i] = relu(1 - |g_n - i|)   (hat weights from broadcasted iota)
+   The kernel exploits Z-SPARSITY: points arrive SORTED BY DEPTH (an XLA
+   argsort pre-pass — sorting is cheap on TPU, scattering is not), so a
+   chunk of C consecutive points only touches a narrow band of z-slabs.
+   Per chunk, scalar-prefetched window metadata (z_base, n_trips) drives a
+   dynamic-trip-count loop over G-slab windows:
+       A[n, g*D + y] = Wz[n, z_base + k*G + g] * Wy[n, y]   (VPU)
+       grid[z_base + k*G ..+G, :, :] += A^T @ Wx            (MXU, K = C)
+   Work scales with the points' actual z-span instead of D — exact for any
+   distribution because trips extend until the chunk's span is covered.
+   The grid scratch has G pad slabs at the top: out-of-range cells land in
+   the pad and are never read (== the reference's out-of-grid clipping).
+2. BLUR — separable Gaussian as Toeplitz matmuls with K [D, D] (values
+   traced, so sigma annealing never recompiles): per-z-slab K^T (slab @ K),
+   then per-y-slab K^T @ slab for the z axis into a second scratch.
 3. DRC — running-transmittance loop over z (VPU):
        p_z = o_z * T;  sil += p_z;  depth += d_z * p_z;  T *= (1 - o_z)
 
-VMEM budget at D=64, N=8192, fp32: Wy/Wx/Wz 3 x C*D or N*D tiles ~6 MB,
-grid 2 x 1 MB, A-chunk C*G*D ~4 MB -> fits the ~16 MB/core budget; D=128
-requires bf16 operands + z-blocking (later round).
+acc_dtype selects fp32 parity mode (HIGHEST matmul precision — this JAX
+build defaults f32 matmuls to a single bf16 MXU pass, ~3e-3 rel error) or
+bf16 perf mode (bf16 operands, fp32 accumulate).
 
 The custom VJP recomputes the forward in pure XLA and differentiates it
-(scatter grad = trilinear gather; cumprod grad via XLA's cumprod VJP) — the
+(splat grad = trilinear gather; cumprod grad via XLA's cumprod VJP) — the
 Pallas kernel accelerates the forward; a handwritten backward kernel is a
 later optimization (SURVEY.md §7 "VJP fidelity").
 """
@@ -43,16 +50,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dpcx.render.drc import drc_projection
-from dpcx.render.gauss import blur_matrix, smoothen_voxels3d
+from dpcx.render.gauss import blur_matrix
 from dpcx.render.voxelize import ndc_to_grid
 
 
+def _iota_f32(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32
+    )
+
+
 def _fused_kernel(
-    g_ref,        # [1, N, 4] grid coords (z, y, x, w) — weight folded in
+    zbase_ref,    # [B, n_chunks] int32 (SMEM, scalar-prefetched)
+    ntrips_ref,   # [B, n_chunks] int32 (SMEM, scalar-prefetched)
+    g_ref,        # [1, N, 4] z-sorted grid coords (z, y, x, w)
     kmat_ref,     # [D, D] blur Toeplitz
     sil_ref,      # [1, D, D] out
     depth_ref,    # [1, D, D] out
-    grid_ref,     # [D, D, D] scratch (VMEM)
+    grid_ref,     # [D + G, D, D] scratch (VMEM; G pad slabs at top)
+    grid2_ref,    # [D, D, D] scratch (VMEM) — blur-z ping-pong
     *,
     num_points: int,
     vox: int,
@@ -62,41 +78,51 @@ def _fused_kernel(
     acc_dtype,
 ):
     D, G, C = vox, z_group, n_chunk
-    n_groups = D // G
     n_chunks = num_points // C
+    b = pl.program_id(0)
+    mxu_prec = (
+        jax.lax.Precision.HIGHEST
+        if acc_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
-    g = g_ref[0]  # [N, 4]
-    cell_ids = jax.lax.broadcasted_iota(jnp.float32, (1, D), 1)  # [1, D]
+    cell_ids = _iota_f32((1, D), 1)                      # [1, D]
+    # lane c of A corresponds to z-offset c // D within the window
+    lane_z = jnp.floor(_iota_f32((1, G * D), 1) / D)     # [1, G*D]
 
-    def hat(coord_col):
-        # coord_col [C, 1] -> [C, D] trilinear hat weights
-        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_col - cell_ids))
+    def hat(coord_col, ids):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_col - ids))
 
-    # ---- stage 1: splat (grouped slab matmuls) ----
+    # ---- stage 1: sorted-window splat ----
+    grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
+
     def chunk_body(c, _):
-        off = c * C
-        gc = g[pl.ds(off, C), :]  # [C, 4]
-        wz = hat(gc[:, 0:1]) * gc[:, 3:4]  # fold point weight into z-hat
-        wy = hat(gc[:, 1:2])
-        wx = hat(gc[:, 2:3]).astype(acc_dtype)  # [C, D]
+        zb = zbase_ref[b, c]
+        nt = ntrips_ref[b, c]
+        gc = g_ref[0, pl.ds(c * C, C), :]  # [C, 4]
+        gz, pw = gc[:, 0:1], gc[:, 3:4]
+        wy_t = pltpu.repeat(
+            hat(gc[:, 1:2], cell_ids).astype(acc_dtype), G, axis=1
+        )                                                # [C, G*D] tiled
+        wx = hat(gc[:, 2:3], cell_ids).astype(acc_dtype)  # [C, D]
 
-        def group_body(gi, _):
-            wz_grp = wz[:, pl.ds(gi * G, G)]  # [C, G]
-            a = (wz_grp[:, :, None] * wy[:, None, :]).reshape(C, G * D)
+        def trip(k, _):
+            z0 = zb + k * G
+            ids = lane_z + z0.astype(jnp.float32)
+            a = (
+                (hat(gz, ids) * pw).astype(acc_dtype) * wy_t
+            )                                             # [C, G*D]
             slab = jax.lax.dot_general(
-                a.astype(acc_dtype),
+                a,
                 wx,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=mxu_prec,
             )  # [G*D, D]
-            prev = grid_ref[pl.ds(gi * G, G), :, :]
-            add = slab.reshape(G, D, D)
-            grid_ref[pl.ds(gi * G, G), :, :] = jnp.where(
-                c == 0, add, prev + add
-            )
+            grid_ref[pl.ds(z0, G), :, :] += slab.reshape(G, D, D)
             return 0
 
-        jax.lax.fori_loop(0, n_groups, group_body, 0)
+        jax.lax.fori_loop(0, nt, trip, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -105,32 +131,44 @@ def _fused_kernel(
     kmat = kmat_ref[:].astype(acc_dtype)  # [D, D]
 
     def blur_xy(z, _):
-        slab = grid_ref[z].astype(acc_dtype)  # [D(y), D(x)]
+        slab = (
+            grid_ref[pl.ds(z, 1), :, :].reshape(D, D).astype(acc_dtype)
+        )  # [D(y), D(x)]
         t = jax.lax.dot_general(  # blur x: slab @ K
             slab, kmat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=mxu_prec,
         )
-        t = jax.lax.dot_general(  # blur y: K^T @ t  (K symmetric-banded)
+        t = jax.lax.dot_general(  # blur y: K^T @ t
             kmat, t.astype(acc_dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=mxu_prec,
         )
-        grid_ref[z] = t
+        grid_ref[pl.ds(z, 1), :, :] = t.reshape(1, D, D)
         return 0
 
     jax.lax.fori_loop(0, D, blur_xy, 0)
-    # blur z: contract slab axis in one [D, D*D] matmul
-    flat = grid_ref[:].reshape(D, D * D).astype(acc_dtype)
-    blurred = jax.lax.dot_general(
-        kmat, flat, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [D, D*D]
+
+    def blur_z(y, _):
+        # contract the z axis for one y-slab: K^T @ grid[:D, y, :]
+        slab = (
+            grid_ref[:D, pl.ds(y, 1), :].reshape(D, D).astype(acc_dtype)
+        )  # [D(z), D(x)]
+        t = jax.lax.dot_general(
+            kmat, slab, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_prec,
+        )
+        grid2_ref[:, pl.ds(y, 1), :] = t.reshape(D, 1, D)
+        return 0
+
+    jax.lax.fori_loop(0, D, blur_z, 0)
 
     # ---- stage 3: DRC expected-visibility reduction over z ----
-    occ = jnp.clip(blurred, 0.0, 1.0 - 1e-5)
-
     def drc_body(z, carry):
         sil, depth, trans = carry
-        o = occ[pl.ds(z, 1), :]  # [1, D*D]
+        o = grid2_ref[pl.ds(z, 1), :, :].reshape(D, D)
+        o = jnp.clip(o, 0.0, 1.0 - 1e-5)
         p_stop = o * trans
         sil = sil + p_stop
         if with_depth:
@@ -139,27 +177,44 @@ def _fused_kernel(
         trans = trans * (1.0 - o)
         return sil, depth, trans
 
-    zero = jnp.zeros((1, D * D), jnp.float32)
+    zero = jnp.zeros((D, D), jnp.float32)
     sil, depth, trans = jax.lax.fori_loop(
-        0, D, drc_body, (zero, zero, jnp.ones((1, D * D), jnp.float32))
+        0, D, drc_body, (zero, zero, jnp.ones((D, D), jnp.float32))
     )
-    sil_ref[0] = sil.reshape(D, D)
+    sil_ref[0] = sil
     if with_depth:
         # rays exiting the volume get background depth 1.0
-        depth_ref[0] = (depth + 1.0 * trans).reshape(D, D)
+        depth_ref[0] = depth + 1.0 * trans
     else:
         depth_ref[0] = jnp.zeros((D, D), jnp.float32)
 
 
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
-    """(z_group, n_chunk): G*D ~ 512 output lanes, C points per chunk."""
+    """(z_group, n_chunk): G*D ~ 512 lanes per window, C sized so a sorted
+    chunk's typical z-span fits in about one window."""
     g = max(1, min(vox, 512 // vox))
     while vox % g:
         g -= 1
-    c = min(num_points, 2048)
+    c = min(num_points, 512)
     while num_points % c:
         c -= 1
     return g, c
+
+
+def _window_metadata(
+    gz_sorted: jax.Array, vox: int, z_group: int, n_chunk: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-chunk (z_base, n_trips) from sorted depth coords [B, N]."""
+    B, N = gz_sorted.shape
+    D, G, C = vox, z_group, n_chunk
+    gz_c = gz_sorted.reshape(B, N // C, C)
+    lo = jnp.floor(gz_c[..., 0])       # lowest cell touched
+    hi = jnp.floor(gz_c[..., -1]) + 1  # highest cell touched
+    zb = jnp.clip(lo, 0, D - 1)
+    ze = jnp.clip(hi, 0, D - 1)
+    nt = jnp.ceil((ze - zb + 1) / G)
+    nt = jnp.where((hi < 0) | (lo > D - 1), 0, nt)
+    return zb.astype(jnp.int32), nt.astype(jnp.int32)
 
 
 @functools.partial(
@@ -177,6 +232,12 @@ def _pallas_forward(
     B, N, _ = coords_w.shape
     D = vox
     G, C = _pick_tiling(N, D)
+
+    # XLA pre-pass: sort points by depth so the kernel's windows are narrow.
+    order = jnp.argsort(coords_w[..., 0], axis=1)
+    sorted_cw = jnp.take_along_axis(coords_w, order[..., None], axis=1)
+    zb, nt = _window_metadata(sorted_cw[..., 0], D, G, C)
+
     kernel = functools.partial(
         _fused_kernel,
         num_points=N,
@@ -186,33 +247,47 @@ def _pallas_forward(
         with_depth=with_depth,
         acc_dtype=jnp.dtype(acc_dtype),
     )
-    sil, depth = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, N, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, N, 4), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, D), lambda b, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, D), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, D), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, D, D), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, D, D), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((D + G, D, D), jnp.float32),
+            pltpu.VMEM((D, D, D), jnp.float32),
+        ],
+    )
+    sil, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D, D), jnp.float32),
             jax.ShapeDtypeStruct((B, D, D), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((D, D, D), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * D * D * D + 8 * B * D**4,
+            flops=2 * B * N * D * D * 12 + 8 * B * D**4,
             bytes_accessed=B * (N * 16 + 2 * D * D * 4) + D * D * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coords_w, kmat)
+    )(zb, nt, sorted_cw, kmat)
     return sil, depth
 
 
@@ -223,8 +298,6 @@ def _xla_reference(
     D = vox
     g = coords_w[..., :3]
     pw = coords_w[..., 3]
-    # hat-splat (same math as voxelize.pointcloud2voxels_matmul, but on
-    # pre-converted grid coords)
     cells = jnp.arange(D, dtype=coords_w.dtype)
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(g[..., 0:1] - cells)) * pw[..., None]
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(g[..., 1:2] - cells))

@@ -118,6 +118,7 @@ def pointcloud_project(
             radius,
             point_weights=point_weights,
             with_depth=cfg.proj_depth,
+            acc_dtype=cfg.pallas_acc_dtype,
         )
         return RenderOut(silhouette=sil, depth=depth)
 

@@ -118,6 +118,47 @@ def pointcloud2voxels_scatter(
     return grid
 
 
+def pointcloud2voxels_rbf(
+    points_ndc: jax.Array,
+    vox_size: int,
+    sigma_vox: jax.Array,
+    chunk: int = 512,
+) -> jax.Array:
+    """Slow/alternative voxelizer: per-point Gaussian RBF evaluated densely.
+
+    Ref: dpc/util/point_cloud.py::pointcloud2voxels3d (the reference keeps
+    this non-"fast" path as a check; SURVEY.md §2.2 #2). Equivalent to
+    splat+blur in one step for isotropic Gaussians (up to the trilinear
+    approximation), so it doubles as an independent oracle in tests.
+    Separable: per-axis Gaussian weight matrices contracted like the hat
+    splat, chunked over points to bound memory.
+    """
+    D = vox_size
+    g = ndc_to_grid(points_ndc, D)  # [B, N, 3] (z, y, x)
+    cells = jnp.arange(D, dtype=points_ndc.dtype)
+
+    def gweights(col):
+        d = col[..., None] - cells
+        return jnp.exp(-0.5 * (d / jnp.maximum(sigma_vox, 1e-6)) ** 2) / (
+            jnp.sqrt(2.0 * jnp.pi) * jnp.maximum(sigma_vox, 1e-6)
+        )
+
+    wz = gweights(g[..., 0])
+    wy = gweights(g[..., 1])
+    wx = gweights(g[..., 2])
+
+    def slab(z_idx):
+        wzy = jax.lax.dynamic_index_in_dim(
+            wz, z_idx, axis=2, keepdims=True
+        ) * wy
+        return jnp.einsum(
+            "bny,bnx->byx", wzy, wx, precision=jax.lax.Precision.HIGHEST
+        )
+
+    grid = jax.lax.map(slab, jnp.arange(D))
+    return jnp.moveaxis(grid, 0, 1)
+
+
 def _hat_weights(g_axis: jax.Array, vox_size: int) -> jax.Array:
     """[..., N] grid coords -> [..., N, D] trilinear hat weights."""
     cells = jax.lax.broadcasted_iota(
