@@ -65,8 +65,10 @@ def _fused_kernel(
     ntrips_ref,   # [B, n_chunks] int32 (SMEM, scalar-prefetched)
     g_ref,        # [1, N, 4] z-sorted grid coords (z, y, x, w)
     kmat_ref,     # [D, D] blur Toeplitz
-    sil_ref,      # [1, D, D] out
-    depth_ref,    # [1, D, D] out
+    kronA_ref,    # [G*D, G*D] = kron(I_G, K^T)  (blur y, G slabs at once)
+    kronB_ref,    # [G*D, G*D] = kron(K^T, I_G)  (blur z, G y-slabs at once)
+    sil_ref,      # [S, D, D] out
+    depth_ref,    # [S, D, D] out
     grid_ref,     # [D + G, D, D] scratch (VMEM; G pad slabs at top)
     grid2_ref,    # [D, D, D] scratch (VMEM) — blur-z ping-pong
     *,
@@ -74,12 +76,14 @@ def _fused_kernel(
     vox: int,
     z_group: int,
     n_chunk: int,
+    samples_per_program: int,
     with_depth: bool,
     acc_dtype,
 ):
     D, G, C = vox, z_group, n_chunk
+    S = samples_per_program
     n_chunks = num_points // C
-    b = pl.program_id(0)
+    prog = pl.program_id(0)
     mxu_prec = (
         jax.lax.Precision.HIGHEST
         if acc_dtype == jnp.float32
@@ -93,100 +97,120 @@ def _fused_kernel(
     def hat(coord_col, ids):
         return jnp.maximum(0.0, 1.0 - jnp.abs(coord_col - ids))
 
-    # ---- stage 1: sorted-window splat ----
-    grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
+    kmat = kmat_ref[:].astype(acc_dtype)       # [D, D]
+    kronA = kronA_ref[:].astype(acc_dtype)     # [G*D, G*D]
+    kronB = kronB_ref[:].astype(acc_dtype)
+    n_zgroups = D // G
 
-    def chunk_body(c, _):
-        zb = zbase_ref[b, c]
-        nt = ntrips_ref[b, c]
-        gc = g_ref[0, pl.ds(c * C, C), :]  # [C, 4]
-        gz, pw = gc[:, 0:1], gc[:, 3:4]
-        wy_t = pltpu.repeat(
-            hat(gc[:, 1:2], cell_ids).astype(acc_dtype), G, axis=1
-        )                                                # [C, G*D] tiled
-        wx = hat(gc[:, 2:3], cell_ids).astype(acc_dtype)  # [C, D]
+    def sample_body(s, _):
+        b = prog * S + s
+        # ---- stage 1: sorted-window splat ----
+        grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
 
-        def trip(k, _):
-            z0 = zb + k * G
-            ids = lane_z + z0.astype(jnp.float32)
-            a = (
-                (hat(gz, ids) * pw).astype(acc_dtype) * wy_t
-            )                                             # [C, G*D]
-            slab = jax.lax.dot_general(
-                a,
-                wx,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu_prec,
-            )  # [G*D, D]
-            grid_ref[pl.ds(z0, G), :, :] += slab.reshape(G, D, D)
+        def chunk_body(c, _):
+            zb = zbase_ref[b, c]
+            nt = ntrips_ref[b, c]
+            gc = g_ref[s, pl.ds(c * C, C), :]  # [C, 4]
+            gz, pw = gc[:, 0:1], gc[:, 3:4]
+            wy_t = pltpu.repeat(
+                hat(gc[:, 1:2], cell_ids).astype(acc_dtype), G, axis=1
+            )                                             # [C, G*D] tiled
+            wx = hat(gc[:, 2:3], cell_ids).astype(acc_dtype)  # [C, D]
+
+            def trip(k, _):
+                z0 = zb + k * G
+                ids = lane_z + z0.astype(jnp.float32)
+                a = (
+                    (hat(gz, ids) * pw).astype(acc_dtype) * wy_t
+                )                                         # [C, G*D]
+                slab = jax.lax.dot_general(
+                    a,
+                    wx,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec,
+                )  # [G*D, D]
+                grid_ref[pl.ds(z0, G), :, :] += slab.reshape(G, D, D)
+                return 0
+
+            jax.lax.fori_loop(0, nt, trip, 0)
             return 0
 
-        jax.lax.fori_loop(0, nt, trip, 0)
-        return 0
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # ---- stage 2: separable blur, G slabs per matmul ----
+        # Pass A handles y and x for G z-slabs at once on merged (g, y)
+        # rows: t = kron(I_G, K^T) @ X @ K    with X [G*D, D]
+        # Pass B contracts z for G y-slabs on merged (z, g) rows:
+        #   t = kron(K^T, I_G) @ X
+        def blur_xy_impl(zg, _):
+            x = (
+                grid_ref[pl.ds(zg * G, G), :, :]
+                .reshape(G * D, D)
+                .astype(acc_dtype)
+            )  # rows (g, y)
+            t = jax.lax.dot_general(  # blur y across all G slabs
+                kronA, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_prec,
+            )
+            t = jax.lax.dot_general(  # blur x
+                t.astype(acc_dtype), kmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_prec,
+            )
+            grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D)
+            return 0
 
-    # ---- stage 2: separable blur via Toeplitz matmuls ----
-    kmat = kmat_ref[:].astype(acc_dtype)  # [D, D]
+        jax.lax.fori_loop(0, n_zgroups, blur_xy_impl, 0)
 
-    def blur_xy(z, _):
-        slab = (
-            grid_ref[pl.ds(z, 1), :, :].reshape(D, D).astype(acc_dtype)
-        )  # [D(y), D(x)]
-        t = jax.lax.dot_general(  # blur x: slab @ K
-            slab, kmat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_prec,
+        def blur_z(yg, _):
+            x = (
+                grid_ref[:D, pl.ds(yg * G, G), :]
+                .reshape(D * G, D)
+                .astype(acc_dtype)
+            )  # rows (z, g)
+            t = jax.lax.dot_general(
+                kronB, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_prec,
+            )
+            grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D)
+            return 0
+
+        jax.lax.fori_loop(0, n_zgroups, blur_z, 0)
+
+        # ---- stage 3: DRC expected-visibility reduction over z ----
+        # G slabs loaded per dynamic iteration; the (inherently
+        # sequential) z recurrence runs statically unrolled in the group.
+        def drc_body(zg, carry):
+            sil, depth, trans = carry
+            og = grid2_ref[pl.ds(zg * G, G), :, :]  # [G, D, D]
+            for g in range(G):
+                o = jnp.clip(og[g], 0.0, 1.0 - 1e-5)
+                p_stop = o * trans
+                sil = sil + p_stop
+                if with_depth:
+                    z = zg * G + g
+                    d_z = (z.astype(jnp.float32) + 0.5) / D - 0.5
+                    depth = depth + d_z * p_stop
+                trans = trans * (1.0 - o)
+            return sil, depth, trans
+
+        zero = jnp.zeros((D, D), jnp.float32)
+        sil, depth, trans = jax.lax.fori_loop(
+            0, n_zgroups, drc_body,
+            (zero, zero, jnp.ones((D, D), jnp.float32)),
         )
-        t = jax.lax.dot_general(  # blur y: K^T @ t
-            kmat, t.astype(acc_dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_prec,
-        )
-        grid_ref[pl.ds(z, 1), :, :] = t.reshape(1, D, D)
-        return 0
-
-    jax.lax.fori_loop(0, D, blur_xy, 0)
-
-    def blur_z(y, _):
-        # contract the z axis for one y-slab: K^T @ grid[:D, y, :]
-        slab = (
-            grid_ref[:D, pl.ds(y, 1), :].reshape(D, D).astype(acc_dtype)
-        )  # [D(z), D(x)]
-        t = jax.lax.dot_general(
-            kmat, slab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_prec,
-        )
-        grid2_ref[:, pl.ds(y, 1), :] = t.reshape(D, 1, D)
-        return 0
-
-    jax.lax.fori_loop(0, D, blur_z, 0)
-
-    # ---- stage 3: DRC expected-visibility reduction over z ----
-    def drc_body(z, carry):
-        sil, depth, trans = carry
-        o = grid2_ref[pl.ds(z, 1), :, :].reshape(D, D)
-        o = jnp.clip(o, 0.0, 1.0 - 1e-5)
-        p_stop = o * trans
-        sil = sil + p_stop
+        sil_ref[pl.ds(s, 1)] = sil.reshape(1, D, D)
         if with_depth:
-            d_z = (z.astype(jnp.float32) + 0.5) / D - 0.5
-            depth = depth + d_z * p_stop
-        trans = trans * (1.0 - o)
-        return sil, depth, trans
+            # rays exiting the volume get background depth 1.0
+            depth_ref[pl.ds(s, 1)] = (depth + 1.0 * trans).reshape(1, D, D)
+        else:
+            depth_ref[pl.ds(s, 1)] = jnp.zeros((1, D, D), jnp.float32)
+        return 0
 
-    zero = jnp.zeros((D, D), jnp.float32)
-    sil, depth, trans = jax.lax.fori_loop(
-        0, D, drc_body, (zero, zero, jnp.ones((D, D), jnp.float32))
-    )
-    sil_ref[0] = sil
-    if with_depth:
-        # rays exiting the volume get background depth 1.0
-        depth_ref[0] = depth + 1.0 * trans
-    else:
-        depth_ref[0] = jnp.zeros((D, D), jnp.float32)
+    jax.lax.fori_loop(0, S, sample_body, 0)
 
 
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
@@ -195,7 +219,7 @@ def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
     g = max(1, min(vox, 512 // vox))
     while vox % g:
         g -= 1
-    c = min(num_points, 512)
+    c = min(num_points, 1024)
     while num_points % c:
         c -= 1
     return g, c
@@ -238,34 +262,55 @@ def _pallas_forward(
     sorted_cw = jnp.take_along_axis(coords_w, order[..., None], axis=1)
     zb, nt = _window_metadata(sorted_cw[..., 0], D, G, C)
 
+    # Pack several samples into one program: the per-program fixed cost
+    # (launch sequencing + constant-block DMAs) measured ~35 us on v5e, so
+    # amortizing it across S samples is a first-order win. VMEM budget: the
+    # points block is S * N * 16 B.
+    S = B
+    while S > 1 and (B % S or S * N * 16 > 4 * 1024 * 1024):
+        S -= 1
+    while B % S:
+        S -= 1
+
     kernel = functools.partial(
         _fused_kernel,
         num_points=N,
         vox=D,
         z_group=G,
         n_chunk=C,
+        samples_per_program=S,
         with_depth=with_depth,
         acc_dtype=jnp.dtype(acc_dtype),
     )
+    kronA = jnp.kron(jnp.eye(G, dtype=kmat.dtype), kmat.T)
+    kronB = jnp.kron(kmat.T, jnp.eye(G, dtype=kmat.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B // S,),
         in_specs=[
             pl.BlockSpec(
-                (1, N, 4), lambda b, *_: (b, 0, 0),
+                (S, N, 4), lambda p, *_: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (D, D), lambda b, *_: (0, 0), memory_space=pltpu.VMEM
+                (D, D), lambda p, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G * D, G * D), lambda p, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (G * D, G * D), lambda p, *_: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, D, D), lambda b, *_: (b, 0, 0),
+                (S, D, D), lambda p, *_: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, D, D), lambda b, *_: (b, 0, 0),
+                (S, D, D), lambda p, *_: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -287,7 +332,7 @@ def _pallas_forward(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(zb, nt, sorted_cw, kmat)
+    )(zb, nt, sorted_cw, kmat, kronA, kronB)
     return sil, depth
 
 

@@ -174,11 +174,38 @@ def train(
                 k: float(np.asarray(v)) for k, v in metrics.items()}})
         if mngr is not None and (step + 1) % cfg.save_every == 0:
             save_checkpoint(mngr, state)
+            _write_image_summary(cfg, state, batch, step + 1)
     if mngr is not None:
         save_checkpoint(mngr, state)
         mngr.wait_until_finished()
     writer.close()
     return state, history
+
+
+def _write_image_summary(cfg: Config, state: TrainState, batch, step) -> None:
+    """Projected-cloud image grids (stand-in for the reference's tf.summary
+    image summaries, SURVEY.md §2.2 #20). Best-effort: never fails training."""
+    try:
+        import numpy as np
+
+        from dpcx.utils.visualise import render_cloud_image, save_image_grid
+
+        preds = state.apply_fn(state.params, batch["image"][:4])
+        imgs = [
+            render_cloud_image(cfg, preds["points"][i])
+            for i in range(min(4, preds["points"].shape[0]))
+        ]
+        gt = [
+            np.asarray(batch["masks"][i, 0], dtype=np.float32)
+            for i in range(len(imgs))
+        ]
+        save_image_grid(
+            imgs + gt,
+            Path(cfg.checkpoint_dir) / "summaries" / f"proj_{step:07d}.png",
+            cols=len(imgs),
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"[dpcx] image summary skipped: {e}")
 
 
 def _prep_batch(batch: dict, cfg: Config) -> dict:
