@@ -62,6 +62,8 @@ class Config:
     pose_predict_num_candidates: int = 4
     pose_student: bool = True
     pose_student_weight: float = 20.0
+    predict_translation: bool = False  # per-candidate camera-frame offset
+    translation_weight: float = 0.0    # L2 regularizer on the offset
 
     # --- losses ---
     proj_weight: float = 1.0

@@ -41,6 +41,7 @@ def _render_silhouettes(
     quats: jax.Array,
     sigma_rel: jax.Array,
     point_weights: jax.Array | None,
+    translation: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """points [M, N, 3], quats [M, 4] -> sil [M, D, D], depth or None."""
     splat = cfg.xla_splat
@@ -52,6 +53,7 @@ def _render_silhouettes(
         quats,
         sigma_rel,
         point_weights=point_weights,
+        translation=translation,
         splat=splat,
     )
     return out.silhouette, out.depth
@@ -143,8 +145,17 @@ def compute_loss(
                 point_weights[:, None, None], (B, K, V, N)
             ).reshape(B * K * V, N)
         )
+        trans = None
+        if "translation" in preds:
+            # predicted camera-frame offset per candidate, shared across
+            # target views (ref: predicted-translation mode of
+            # pc_perspective_transform)
+            trans = jnp.broadcast_to(
+                preds["translation"][:, :, None, :], (B, K, V, 3)
+            ).reshape(B * K * V, 3)
         sil, depth = _render_silhouettes(
-            cfg, pts, q_full.reshape(B * K * V, 4), sigma_rel, pw
+            cfg, pts, q_full.reshape(B * K * V, 4), sigma_rel, pw,
+            translation=trans,
         )
         sil = sil.reshape(B, K, V, D, D)
         # per-sample per-candidate loss, averaged over views+pixels
@@ -189,6 +200,11 @@ def compute_loss(
         s_loss = jnp.mean((preds["scale"] - 0.7) ** 2)
         total = total + cfg.scale_weight * s_loss
         metrics["loss_scale"] = s_loss
+
+    if cfg.translation_weight > 0 and "translation" in preds:
+        t_loss = jnp.mean(preds["translation"] ** 2)
+        total = total + cfg.translation_weight * t_loss
+        metrics["loss_translation"] = t_loss
 
     metrics["loss_total"] = total
     return total, metrics

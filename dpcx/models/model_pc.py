@@ -39,6 +39,7 @@ class ModelPointCloud(nn.Module):
             self.pose_head = get_network("pose_head")(
                 num_candidates=c.pose_predict_num_candidates,
                 with_student=c.pose_student,
+                predict_translation=c.predict_translation,
                 compute_dtype=dtype,
             )
 

@@ -107,7 +107,7 @@ def _fused_kernel(
         # ---- stage 1: sorted-window splat ----
         grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
 
-        def chunk_body(c, _):
+        def chunk_body(c):
             zb = zbase_ref[b, c]
             nt = ntrips_ref[b, c]
             gc = g_ref[s, pl.ds(c * C, C), :]  # [C, 4]
@@ -134,16 +134,18 @@ def _fused_kernel(
                 return 0
 
             jax.lax.fori_loop(0, nt, trip, 0)
-            return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # static unroll: dynamic fori iterations cost ~1.5 us each in
+        # Mosaic (dynamic-offset VMEM access defeats pipelining)
+        for c in range(n_chunks):
+            chunk_body(c)
 
         # ---- stage 2: separable blur, G slabs per matmul ----
         # Pass A handles y and x for G z-slabs at once on merged (g, y)
         # rows: t = kron(I_G, K^T) @ X @ K    with X [G*D, D]
         # Pass B contracts z for G y-slabs on merged (z, g) rows:
         #   t = kron(K^T, I_G) @ X
-        def blur_xy_impl(zg, _):
+        def blur_xy_impl(zg):
             x = (
                 grid_ref[pl.ds(zg * G, G), :, :]
                 .reshape(G * D, D)
@@ -160,11 +162,11 @@ def _fused_kernel(
                 precision=mxu_prec,
             )
             grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D)
-            return 0
 
-        jax.lax.fori_loop(0, n_zgroups, blur_xy_impl, 0)
+        for zg in range(n_zgroups):
+            blur_xy_impl(zg)
 
-        def blur_z(yg, _):
+        def blur_z(yg):
             x = (
                 grid_ref[:D, pl.ds(yg * G, G), :]
                 .reshape(D * G, D)
@@ -176,32 +178,25 @@ def _fused_kernel(
                 precision=mxu_prec,
             )
             grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D)
-            return 0
 
-        jax.lax.fori_loop(0, n_zgroups, blur_z, 0)
+        for yg in range(n_zgroups):
+            blur_z(yg)
 
         # ---- stage 3: DRC expected-visibility reduction over z ----
         # G slabs loaded per dynamic iteration; the (inherently
         # sequential) z recurrence runs statically unrolled in the group.
-        def drc_body(zg, carry):
-            sil, depth, trans = carry
-            og = grid2_ref[pl.ds(zg * G, G), :, :]  # [G, D, D]
+        zero = jnp.zeros((D, D), jnp.float32)
+        sil, depth, trans = zero, zero, jnp.ones((D, D), jnp.float32)
+        for zg in range(n_zgroups):
+            og = grid2_ref[zg * G : (zg + 1) * G, :, :]  # [G, D, D]
             for g in range(G):
                 o = jnp.clip(og[g], 0.0, 1.0 - 1e-5)
                 p_stop = o * trans
                 sil = sil + p_stop
                 if with_depth:
-                    z = zg * G + g
-                    d_z = (z.astype(jnp.float32) + 0.5) / D - 0.5
+                    d_z = (zg * G + g + 0.5) / D - 0.5
                     depth = depth + d_z * p_stop
                 trans = trans * (1.0 - o)
-            return sil, depth, trans
-
-        zero = jnp.zeros((D, D), jnp.float32)
-        sil, depth, trans = jax.lax.fori_loop(
-            0, n_zgroups, drc_body,
-            (zero, zero, jnp.ones((D, D), jnp.float32)),
-        )
         sil_ref[pl.ds(s, 1)] = sil.reshape(1, D, D)
         if with_depth:
             # rays exiting the volume get background depth 1.0
@@ -267,7 +262,7 @@ def _pallas_forward(
     # amortizing it across S samples is a first-order win. VMEM budget: the
     # points block is S * N * 16 B.
     S = B
-    while S > 1 and (B % S or S * N * 16 > 4 * 1024 * 1024):
+    while S > 1 and (B % S or S * N * 16 > 2 * 1024 * 1024):
         S -= 1
     while B % S:
         S -= 1

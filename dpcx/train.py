@@ -142,7 +142,14 @@ def train(
     use_checkpoints: bool = True,
 ) -> tuple[TrainState, list[dict]]:
     """Full training entry (ref: dpc/run/train_eval.py::main)."""
-    mesh = mesh or make_mesh(cfg)
+    if mesh is None:
+        # batch must shard evenly: use the largest device count that
+        # divides the batch size
+        devices = jax.devices()
+        n = len(devices)
+        while cfg.batch_size % n:
+            n -= 1
+        mesh = make_mesh(cfg, devices=devices[:n])
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_state(cfg, rng)
     mngr = _checkpoint_manager(cfg) if use_checkpoints else None
