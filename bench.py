@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: points splatted+projected per second per chip.
+"""Benchmark: points splatted+projected per second per chip at 64^3.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): >= 100 Mpoints/s/chip at 64^3 on TPU v5e.
-Measures the full renderer forward (perspective transform -> fused Pallas
-splat -> Gaussian blur -> DRC silhouette) on the flagship config shapes:
-N=8192 points, D=64 grid.
+
+Measures the full renderer forward — perspective transform -> z-sort ->
+fused Pallas splat -> Gaussian blur -> DRC silhouette — on the flagship
+config shapes (N=16384 points, D=64 grid, bf16 perf mode). Timing runs the
+render ITERS times inside one jitted lax.scan with a data dependency between
+iterations, so the number reflects true device time (host-side loops
+under-measure through the async dispatch tunnel).
 """
 
 import json
@@ -20,35 +24,37 @@ from dpcx.render.project import pointcloud_project
 
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
+    D = 64
+    B, N, iters = (16, 16384, 30) if on_tpu else (2, 256, 3)
     cfg = Config(
-        vox_size=64,
-        pc_num_points=8192,
+        vox_size=D,
+        pc_num_points=N,
         renderer="pallas" if on_tpu else "xla",
+        pallas_acc_dtype="bfloat16",
         proj_depth=False,
     )
-    B, N = (16, 8192) if on_tpu else (2, 512)
     key = jax.random.PRNGKey(0)
     pts = jax.random.uniform(key, (B, N, 3), minval=-0.4, maxval=0.4)
     quat = jax.random.normal(jax.random.PRNGKey(1), (B, 4))
     quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
     sigma = jnp.asarray(0.02)
 
-    def run():
-        return pointcloud_project(cfg, pts, quat, sigma).silhouette
+    @jax.jit
+    def run(p):
+        def body(carry, _):
+            sil = pointcloud_project(cfg, carry, quat, sigma).silhouette
+            carry = carry + 1e-20 * sil.sum()  # serialize iterations
+            return carry, sil[0, 0, 0]
 
-    # warmup / compile
-    run().block_until_ready()
-    run().block_until_ready()
+        _, s = jax.lax.scan(body, p, None, length=iters)
+        return s.sum()
 
-    iters = 30 if on_tpu else 3
+    run(pts).block_until_ready()  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    run(pts).block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
 
-    pts_per_sec = B * N * iters / dt
-    mpts = pts_per_sec / 1e6
+    mpts = B * N / dt / 1e6
     print(
         json.dumps(
             {

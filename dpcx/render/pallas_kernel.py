@@ -63,7 +63,12 @@ def _iota_f32(shape, dim):
 def _fused_kernel(
     zbase_ref,    # [B, n_chunks] int32 (SMEM, scalar-prefetched)
     ntrips_ref,   # [B, n_chunks] int32 (SMEM, scalar-prefetched)
-    g_ref,        # [1, N, 4] z-sorted grid coords (z, y, x, w)
+    counts_ref,   # [2] int32 (SMEM): (n_chunks, S) as runtime values so
+                  # Mosaic cannot statically unroll the loops — full unroll
+                  # stack-allocates per-iteration temporaries (~70 MB OOM)
+    g_ref,        # [S, 4, N] z-sorted grid coords, fields on sublanes and
+                  # POINTS ON LANES — a [.., N, 4] layout would pad the
+                  # 4-wide trailing dim to 128 lanes (32x VMEM blowup)
     kmat_ref,     # [D, D] blur Toeplitz
     kronA_ref,    # [G*D, G*D] = kron(I_G, K^T)  (blur y, G slabs at once)
     kronB_ref,    # [G*D, G*D] = kron(K^T, I_G)  (blur z, G y-slabs at once)
@@ -90,12 +95,14 @@ def _fused_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    cell_ids = _iota_f32((1, D), 1)                      # [1, D]
-    # lane c of A corresponds to z-offset c // D within the window
-    lane_z = jnp.floor(_iota_f32((1, G * D), 1) / D)     # [1, G*D]
+    # transposed layout: A^T [G*D, C] with cells on SUBLANES, points on
+    # LANES — matches the [.., 4, N] input layout with no transposes
+    cell_sub = _iota_f32((D, 1), 0)                      # [D, 1]
+    row_z = jnp.floor(_iota_f32((G * D, 1), 0) / D)      # [G*D, 1]
 
-    def hat(coord_col, ids):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_col - ids))
+    def hat_t(cells_col, coord_row):
+        # [R, 1] cell ids x [1, C] coords -> [R, C] hat weights
+        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_row - cells_col))
 
     kmat = kmat_ref[:].astype(acc_dtype)       # [D, D]
     kronA = kronA_ref[:].astype(acc_dtype)     # [G*D, G*D]
@@ -107,26 +114,28 @@ def _fused_kernel(
         # ---- stage 1: sorted-window splat ----
         grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
 
-        def chunk_body(c):
+        def chunk_body(c, _):
             zb = zbase_ref[b, c]
             nt = ntrips_ref[b, c]
-            gc = g_ref[s, pl.ds(c * C, C), :]  # [C, 4]
-            gz, pw = gc[:, 0:1], gc[:, 3:4]
+            gz = g_ref[s, 0:1, pl.ds(c * C, C)]  # [1, C]
+            gy = g_ref[s, 1:2, pl.ds(c * C, C)]
+            gx = g_ref[s, 2:3, pl.ds(c * C, C)]
+            pw = g_ref[s, 3:4, pl.ds(c * C, C)]
             wy_t = pltpu.repeat(
-                hat(gc[:, 1:2], cell_ids).astype(acc_dtype), G, axis=1
-            )                                             # [C, G*D] tiled
-            wx = hat(gc[:, 2:3], cell_ids).astype(acc_dtype)  # [C, D]
+                hat_t(cell_sub, gy).astype(acc_dtype), G, axis=0
+            )                                              # [G*D, C] tiled
+            wx_t = hat_t(cell_sub, gx).astype(acc_dtype)   # [D, C]
 
             def trip(k, _):
                 z0 = zb + k * G
-                ids = lane_z + z0.astype(jnp.float32)
-                a = (
-                    (hat(gz, ids) * pw).astype(acc_dtype) * wy_t
-                )                                         # [C, G*D]
-                slab = jax.lax.dot_general(
-                    a,
-                    wx,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                ids = row_z + z0.astype(jnp.float32)
+                a_t = (
+                    (hat_t(ids, gz) * pw).astype(acc_dtype) * wy_t
+                )                                          # [G*D, C]
+                slab = jax.lax.dot_general(  # contract the point lanes
+                    a_t,
+                    wx_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=mxu_prec,
                 )  # [G*D, D]
@@ -134,18 +143,17 @@ def _fused_kernel(
                 return 0
 
             jax.lax.fori_loop(0, nt, trip, 0)
+            return 0
 
-        # static unroll: dynamic fori iterations cost ~1.5 us each in
-        # Mosaic (dynamic-offset VMEM access defeats pipelining)
-        for c in range(n_chunks):
-            chunk_body(c)
+        # dynamic bound (from SMEM) so the loop cannot be unrolled
+        jax.lax.fori_loop(0, counts_ref[0], chunk_body, 0)
 
         # ---- stage 2: separable blur, G slabs per matmul ----
         # Pass A handles y and x for G z-slabs at once on merged (g, y)
         # rows: t = kron(I_G, K^T) @ X @ K    with X [G*D, D]
         # Pass B contracts z for G y-slabs on merged (z, g) rows:
         #   t = kron(K^T, I_G) @ X
-        def blur_xy_impl(zg):
+        def blur_xy_impl(zg, _):
             x = (
                 grid_ref[pl.ds(zg * G, G), :, :]
                 .reshape(G * D, D)
@@ -162,11 +170,11 @@ def _fused_kernel(
                 precision=mxu_prec,
             )
             grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D)
+            return 0
 
-        for zg in range(n_zgroups):
-            blur_xy_impl(zg)
+        jax.lax.fori_loop(0, n_zgroups, blur_xy_impl, 0)
 
-        def blur_z(yg):
+        def blur_z(yg, _):
             x = (
                 grid_ref[:D, pl.ds(yg * G, G), :]
                 .reshape(D * G, D)
@@ -178,25 +186,31 @@ def _fused_kernel(
                 precision=mxu_prec,
             )
             grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D)
+            return 0
 
-        for yg in range(n_zgroups):
-            blur_z(yg)
+        jax.lax.fori_loop(0, n_zgroups, blur_z, 0)
 
         # ---- stage 3: DRC expected-visibility reduction over z ----
         # G slabs loaded per dynamic iteration; the (inherently
         # sequential) z recurrence runs statically unrolled in the group.
-        zero = jnp.zeros((D, D), jnp.float32)
-        sil, depth, trans = zero, zero, jnp.ones((D, D), jnp.float32)
-        for zg in range(n_zgroups):
-            og = grid2_ref[zg * G : (zg + 1) * G, :, :]  # [G, D, D]
+        def drc_body(zg, carry):
+            sil, depth, trans = carry
+            og = grid2_ref[pl.ds(zg * G, G), :, :]  # [G, D, D]
             for g in range(G):
                 o = jnp.clip(og[g], 0.0, 1.0 - 1e-5)
                 p_stop = o * trans
                 sil = sil + p_stop
                 if with_depth:
-                    d_z = (zg * G + g + 0.5) / D - 0.5
+                    d_z = ((zg * G + g).astype(jnp.float32) + 0.5) / D - 0.5
                     depth = depth + d_z * p_stop
                 trans = trans * (1.0 - o)
+            return sil, depth, trans
+
+        zero = jnp.zeros((D, D), jnp.float32)
+        sil, depth, trans = jax.lax.fori_loop(
+            0, n_zgroups, drc_body,
+            (zero, zero, jnp.ones((D, D), jnp.float32)),
+        )
         sil_ref[pl.ds(s, 1)] = sil.reshape(1, D, D)
         if with_depth:
             # rays exiting the volume get background depth 1.0
@@ -205,7 +219,7 @@ def _fused_kernel(
             depth_ref[pl.ds(s, 1)] = jnp.zeros((1, D, D), jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, S, sample_body, 0)
+    jax.lax.fori_loop(0, counts_ref[1], sample_body, 0)
 
 
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
@@ -252,17 +266,26 @@ def _pallas_forward(
     D = vox
     G, C = _pick_tiling(N, D)
 
-    # XLA pre-pass: sort points by depth so the kernel's windows are narrow.
-    order = jnp.argsort(coords_w[..., 0], axis=1)
-    sorted_cw = jnp.take_along_axis(coords_w, order[..., None], axis=1)
-    zb, nt = _window_metadata(sorted_cw[..., 0], D, G, C)
+    # XLA pre-pass: sort points by depth so the kernel's windows are
+    # narrow. Multi-operand lax.sort carries the payload with the keys (no
+    # gather), and the kernel layout is [B, 4, N]: points on lanes.
+    gz, gy, gx, pw = (
+        coords_w[..., 0], coords_w[..., 1], coords_w[..., 2],
+        coords_w[..., 3],
+    )
+    gz, gy, gx, pw = jax.lax.sort(
+        (gz, gy, gx, pw), dimension=1, num_keys=1
+    )
+    sorted_t = jnp.stack([gz, gy, gx, pw], axis=1)  # [B, 4, N]
+    zb, nt = _window_metadata(gz, D, G, C)
+    n_chunks = N // C
 
     # Pack several samples into one program: the per-program fixed cost
     # (launch sequencing + constant-block DMAs) measured ~35 us on v5e, so
     # amortizing it across S samples is a first-order win. VMEM budget: the
     # points block is S * N * 16 B.
     S = B
-    while S > 1 and (B % S or S * N * 16 > 2 * 1024 * 1024):
+    while S > 1 and (B % S or S * N * 16 > 1024 * 1024):
         S -= 1
     while B % S:
         S -= 1
@@ -280,11 +303,11 @@ def _pallas_forward(
     kronA = jnp.kron(jnp.eye(G, dtype=kmat.dtype), kmat.T)
     kronB = jnp.kron(kmat.T, jnp.eye(G, dtype=kmat.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B // S,),
         in_specs=[
             pl.BlockSpec(
-                (S, N, 4), lambda p, *_: (p, 0, 0),
+                (S, 4, N), lambda p, *_: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -327,7 +350,15 @@ def _pallas_forward(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(zb, nt, sorted_cw, kmat, kronA, kronB)
+    )(
+        zb,
+        nt,
+        jnp.asarray([n_chunks, S], jnp.int32),
+        sorted_t,
+        kmat,
+        kronA,
+        kronB,
+    )
     return sil, depth
 
 
