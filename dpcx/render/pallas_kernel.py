@@ -88,6 +88,7 @@ def _fused_kernel(
     D, G, C = vox, z_group, n_chunk
     S = samples_per_program
     n_chunks = num_points // C
+    grid_dtype = grid_ref.dtype
     prog = pl.program_id(0)
     mxu_prec = (
         jax.lax.Precision.HIGHEST
@@ -112,7 +113,7 @@ def _fused_kernel(
     def sample_body(s, _):
         b = prog * S + s
         # ---- stage 1: sorted-window splat ----
-        grid_ref[:] = jnp.zeros((D + G, D, D), jnp.float32)
+        grid_ref[:] = jnp.zeros((D + G, D, D), grid_dtype)
 
         def chunk_body(c, _):
             zb = zbase_ref[b, c]
@@ -139,7 +140,9 @@ def _fused_kernel(
                     preferred_element_type=jnp.float32,
                     precision=mxu_prec,
                 )  # [G*D, D]
-                grid_ref[pl.ds(z0, G), :, :] += slab.reshape(G, D, D)
+                grid_ref[pl.ds(z0, G), :, :] += slab.reshape(
+                    G, D, D
+                ).astype(grid_dtype)
                 return 0
 
             jax.lax.fori_loop(0, nt, trip, 0)
@@ -169,7 +172,9 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_prec,
             )
-            grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D)
+            grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D).astype(
+                grid_dtype
+            )
             return 0
 
         jax.lax.fori_loop(0, n_zgroups, blur_xy_impl, 0)
@@ -185,7 +190,9 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_prec,
             )
-            grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D)
+            grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D).astype(
+                grid_dtype
+            )
             return 0
 
         jax.lax.fori_loop(0, n_zgroups, blur_z, 0)
@@ -197,7 +204,7 @@ def _fused_kernel(
             sil, depth, trans = carry
             og = grid2_ref[pl.ds(zg * G, G), :, :]  # [G, D, D]
             for g in range(G):
-                o = jnp.clip(og[g], 0.0, 1.0 - 1e-5)
+                o = jnp.clip(og[g].astype(jnp.float32), 0.0, 1.0 - 1e-5)
                 p_stop = o * trans
                 sil = sil + p_stop
                 if with_depth:
@@ -332,9 +339,18 @@ def _pallas_forward(
                 memory_space=pltpu.VMEM,
             ),
         ),
+        # At D=128 two fp32 D^3 grids (16.8 MB) exceed VMEM; store the
+        # occupancy grids in the acc dtype there (bf16 perf mode). D<=64
+        # keeps fp32 scratches in every mode.
         scratch_shapes=[
-            pltpu.VMEM((D + G, D, D), jnp.float32),
-            pltpu.VMEM((D, D, D), jnp.float32),
+            pltpu.VMEM(
+                (D + G, D, D),
+                jnp.float32 if D <= 64 else jnp.dtype(acc_dtype),
+            ),
+            pltpu.VMEM(
+                (D, D, D),
+                jnp.float32 if D <= 64 else jnp.dtype(acc_dtype),
+            ),
         ],
     )
     sil, depth = pl.pallas_call(
