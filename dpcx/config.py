@@ -69,6 +69,7 @@ class Config:
     proj_weight: float = 1.0
     drc_weight: float = 0.0            # depth-projection loss weight
     scale_weight: float = 0.0          # scale regularizer
+    rgb_weight: float = 1.0            # color re-projection loss (pc_rgb)
 
     # --- training (ref: dpc/run/train_eval.py) ---
     batch_size: int = 16

@@ -50,7 +50,7 @@ class Dataset:
             ]
         )
         bi = np.arange(batch_size)[:, None]
-        return {
+        batch = {
             "image": self.records["images"][m, v_in],
             "masks": self.records["masks"][m[:, None], v_tgt],
             "depths": self.records["depths"][m[:, None], v_tgt],
@@ -58,6 +58,12 @@ class Dataset:
             "quat_in": self.records["quats"][m, v_in],
             "model_idx": m,
         }
+        if self.cfg.pc_rgb:
+            # target-view RGB renders for the color re-projection loss
+            # (config 5 of BASELINE.json; no reference counterpart beyond
+            # the rgb channels of pointcloud2voxels3d_fast)
+            batch["images_tgt"] = self.records["images"][m[:, None], v_tgt]
+        return batch
 
     def eval_batch(self, model_idx: np.ndarray, view_idx: int = 0) -> dict:
         return {

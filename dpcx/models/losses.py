@@ -105,11 +105,36 @@ def compute_loss(
             else jnp.repeat(point_weights, V, axis=0)
         )
         quats = batch["quats"].reshape(B * V, 4)
-        sil, depth = _render_silhouettes(cfg, pts, quats, sigma_rel, pw)
+        rgb = None
+        if cfg.pc_rgb and "rgb" in preds:
+            rgb = jnp.repeat(preds["rgb"], V, axis=0)
+        if rgb is None:
+            sil, depth = _render_silhouettes(
+                cfg, pts, quats, sigma_rel, pw
+            )
+            rgb_proj = None
+        else:
+            out = pointcloud_project(
+                cfg, pts, quats, sigma_rel, point_weights=pw, rgb=rgb
+            )
+            sil, depth, rgb_proj = out.silhouette, out.depth, out.rgb
         sil = sil.reshape(B, V, D, D)
         proj_loss = jnp.mean((sil - masks) ** 2)
         total = total + cfg.proj_weight * proj_loss
         metrics["loss_proj"] = proj_loss
+        if rgb_proj is not None and "images_tgt" in batch:
+            # color re-projection: compare inside the GT silhouette against
+            # the target-view render, downsampled to the mask resolution
+            tgt = jax.image.resize(
+                batch["images_tgt"], (B, V, D, D, 3), method="bilinear"
+            )
+            rgb_proj = rgb_proj.reshape(B, V, D, D, 3)
+            w = masks[..., None]
+            rgb_loss = jnp.sum(w * (rgb_proj - tgt) ** 2) / jnp.maximum(
+                jnp.sum(w) * 3.0, 1.0
+            )
+            total = total + cfg.rgb_weight * rgb_loss
+            metrics["loss_rgb"] = rgb_loss
         if cfg.proj_depth and cfg.drc_weight > 0:
             depth = depth.reshape(B, V, D, D)
             d_loss = jnp.mean(

@@ -70,6 +70,27 @@ def predict_dataset(
     return out
 
 
+def evaluate_categories(
+    cfg: Config,
+    params_by_category: dict[str, object],
+    datasets: dict[str, Dataset],
+    batch_size: int = 16,
+) -> dict[str, dict[str, float]]:
+    """Per-category eval table + mean row (ref: the reference aggregates
+    Chamfer per ShapeNet category and reports per-category means,
+    SURVEY.md §2.2 #18)."""
+    table: dict[str, dict[str, float]] = {}
+    for cat, ds in datasets.items():
+        params = params_by_category[cat]
+        table[cat] = evaluate(cfg, params, ds, batch_size=batch_size)
+    keys = next(iter(table.values())).keys()
+    table["mean"] = {
+        k: float(np.mean([v[k] for v in table.values() if k in v]))
+        for k in keys
+    }
+    return table
+
+
 def evaluate(
     cfg: Config,
     params,

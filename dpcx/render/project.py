@@ -107,6 +107,13 @@ def pointcloud_project(
         and rgb is None
         and cfg.proj_type == "drc"
         and not return_voxels
+        # The fused kernel targets D <= 64: at D=128 two D^3 VMEM grids
+        # exceed the 16 MB budget and the y-slab blur pass violates
+        # Mosaic's sublane alignment (G=512/D=4 < 8). 128^3 runs on the
+        # XLA matmul path below (grids live in HBM); a two-stage split
+        # kernel (splat+blur_xy in VMEM, blur_z+DRC in XLA) is the planned
+        # upgrade.
+        and D <= 64
     ):
         # fused TPU kernel path (stage 2-4 in one pallas_call)
         from dpcx.render.pallas_kernel import pallas_project
@@ -127,7 +134,9 @@ def pointcloud_project(
         grid, rgb_grid = pointcloud2voxels_scatter(
             ndc, D, point_weights=point_weights, rgb=rgb.astype(dtype)
         )
-    elif splat == "matmul":
+    elif splat == "matmul" or cfg.renderer == "pallas":
+        # (pallas configs that fell through, e.g. 128^3, keep the MXU
+        # formulation rather than the scatter oracle)
         grid = pointcloud2voxels_matmul(ndc, D, point_weights=point_weights)
     else:
         grid = pointcloud2voxels_scatter(ndc, D, point_weights=point_weights)

@@ -134,6 +134,31 @@ def test_student_loss_pulls_to_winner():
     assert float(metrics["loss_student"]) > 0.0
 
 
+def test_rgb_loss_path():
+    """pc_rgb: color head + rgb re-projection loss (BASELINE config 5)."""
+    cfg = TINY.replace(pc_rgb=True, rgb_weight=1.0)
+    model = ModelPointCloud(cfg)
+    batch = _fake_batch(cfg)
+    B, V, D = 2, cfg.views_per_step, cfg.vox_size
+    batch["images_tgt"] = jax.random.uniform(
+        jax.random.PRNGKey(9), (B, V, cfg.image_size, cfg.image_size, 3)
+    )
+    params = model.init(jax.random.PRNGKey(0), batch["image"])
+
+    def loss_fn(p):
+        preds = model.apply(p, batch["image"])
+        assert "rgb" in preds
+        loss, m = compute_loss(
+            cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        return loss, m
+
+    (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert "loss_rgb" in m
+    assert jnp.isfinite(loss)
+    assert all(jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads))
+
+
 def test_chamfer_identity_zero():
     pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 100, 3))
     cd = chamfer_distance(pts, pts)
