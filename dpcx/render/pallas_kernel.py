@@ -70,22 +70,25 @@ def _fused_kernel(
                   # POINTS ON LANES — a [.., N, 4] layout would pad the
                   # 4-wide trailing dim to 128 lanes (32x VMEM blowup)
     kmat_ref,     # [D, D] blur Toeplitz
-    kronA_ref,    # [G*D, G*D] = kron(I_G, K^T)  (blur y, G slabs at once)
-    kronB_ref,    # [G*D, G*D] = kron(K^T, I_G)  (blur z, G y-slabs at once)
+    kronA_ref,    # [Gb*D, Gb*D] = kron(I_Gb, K^T) (blur y, Gb slabs/matmul)
+    kronB_ref,    # [Gb*D, Gb*D] = kron(K^T, I_Gb) (blur z, Gb y-slabs)
     sil_ref,      # [S, D, D] out
     depth_ref,    # [S, D, D] out
-    grid_ref,     # [D + G, D, D] scratch (VMEM; G pad slabs at top)
-    grid2_ref,    # [D, D, D] scratch (VMEM) — blur-z ping-pong
+    grid_ref,     # [D + G, D, D] scratch (VMEM; G pad slabs at top).
+                  # The ONLY D^3 buffer: all blur passes are blockwise
+                  # in-place (each matmul reads and writes its own block)
     *,
     num_points: int,
     vox: int,
     z_group: int,
+    blur_group: int,
     n_chunk: int,
     samples_per_program: int,
     with_depth: bool,
     acc_dtype,
 ):
     D, G, C = vox, z_group, n_chunk
+    Gb = blur_group
     S = samples_per_program
     n_chunks = num_points // C
     grid_dtype = grid_ref.dtype
@@ -106,9 +109,9 @@ def _fused_kernel(
         return jnp.maximum(0.0, 1.0 - jnp.abs(coord_row - cells_col))
 
     kmat = kmat_ref[:].astype(acc_dtype)       # [D, D]
-    kronA = kronA_ref[:].astype(acc_dtype)     # [G*D, G*D]
+    kronA = kronA_ref[:].astype(acc_dtype)     # [Gb*D, Gb*D]
     kronB = kronB_ref[:].astype(acc_dtype)
-    n_zgroups = D // G
+    n_bgroups = D // Gb
 
     def sample_body(s, _):
         b = prog * S + s
@@ -158,8 +161,8 @@ def _fused_kernel(
         #   t = kron(K^T, I_G) @ X
         def blur_xy_impl(zg, _):
             x = (
-                grid_ref[pl.ds(zg * G, G), :, :]
-                .reshape(G * D, D)
+                grid_ref[pl.ds(zg * Gb, Gb), :, :]
+                .reshape(Gb * D, D)
                 .astype(acc_dtype)
             )  # rows (g, y)
             t = jax.lax.dot_general(  # blur y across all G slabs
@@ -172,17 +175,21 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_prec,
             )
-            grid_ref[pl.ds(zg * G, G), :, :] = t.reshape(G, D, D).astype(
-                grid_dtype
-            )
+            grid_ref[pl.ds(zg * Gb, Gb), :, :] = t.reshape(
+                Gb, D, D
+            ).astype(grid_dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_zgroups, blur_xy_impl, 0)
+        jax.lax.fori_loop(0, n_bgroups, blur_xy_impl, 0)
 
         def blur_z(yg, _):
+            # in-place: the z-contraction for a y-block reads and writes
+            # only that block, so no second D^3 scratch is needed.
+            # dim-1 dynamic slicing requires sublane-aligned offsets, so
+            # Gb is >= 8 regardless of the splat window G.
             x = (
-                grid_ref[:D, pl.ds(yg * G, G), :]
-                .reshape(D * G, D)
+                grid_ref[:D, pl.ds(yg * Gb, Gb), :]
+                .reshape(D * Gb, D)
                 .astype(acc_dtype)
             )  # rows (z, g)
             t = jax.lax.dot_general(
@@ -190,32 +197,34 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_prec,
             )
-            grid2_ref[:, pl.ds(yg * G, G), :] = t.reshape(D, G, D).astype(
-                grid_dtype
-            )
+            grid_ref[:D, pl.ds(yg * Gb, Gb), :] = t.reshape(
+                D, Gb, D
+            ).astype(grid_dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_zgroups, blur_z, 0)
+        jax.lax.fori_loop(0, n_bgroups, blur_z, 0)
 
         # ---- stage 3: DRC expected-visibility reduction over z ----
         # G slabs loaded per dynamic iteration; the (inherently
         # sequential) z recurrence runs statically unrolled in the group.
         def drc_body(zg, carry):
             sil, depth, trans = carry
-            og = grid2_ref[pl.ds(zg * G, G), :, :]  # [G, D, D]
-            for g in range(G):
+            og = grid_ref[pl.ds(zg * Gb, Gb), :, :]  # [Gb, D, D]
+            for g in range(Gb):
                 o = jnp.clip(og[g].astype(jnp.float32), 0.0, 1.0 - 1e-5)
                 p_stop = o * trans
                 sil = sil + p_stop
                 if with_depth:
-                    d_z = ((zg * G + g).astype(jnp.float32) + 0.5) / D - 0.5
+                    d_z = (
+                        (zg * Gb + g).astype(jnp.float32) + 0.5
+                    ) / D - 0.5
                     depth = depth + d_z * p_stop
                 trans = trans * (1.0 - o)
             return sil, depth, trans
 
         zero = jnp.zeros((D, D), jnp.float32)
         sil, depth, trans = jax.lax.fori_loop(
-            0, n_zgroups, drc_body,
+            0, n_bgroups, drc_body,
             (zero, zero, jnp.ones((D, D), jnp.float32)),
         )
         sil_ref[pl.ds(s, 1)] = sil.reshape(1, D, D)
@@ -235,7 +244,9 @@ def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
     g = max(1, min(vox, 512 // vox))
     while vox % g:
         g -= 1
-    c = min(num_points, 1024)
+    # smaller chunks at large D keep the [G*D, C] trip temporaries small
+    # enough for VMEM (D=128 sits ~1 MB from the scoped limit)
+    c = min(num_points, 1024 if vox <= 64 else 512)
     while num_points % c:
         c -= 1
     return g, c
@@ -297,18 +308,26 @@ def _pallas_forward(
     while B % S:
         S -= 1
 
+    # Blur group: dim-1 dynamic slices must be sublane-aligned (multiple
+    # of 8 for f32), so the blur uses its own group size independent of the
+    # splat window G (which only ever slices dim 0).
+    Gb = min(D, 8)
     kernel = functools.partial(
         _fused_kernel,
         num_points=N,
         vox=D,
         z_group=G,
+        blur_group=Gb,
         n_chunk=C,
         samples_per_program=S,
         with_depth=with_depth,
         acc_dtype=jnp.dtype(acc_dtype),
     )
-    kronA = jnp.kron(jnp.eye(G, dtype=kmat.dtype), kmat.T)
-    kronB = jnp.kron(kmat.T, jnp.eye(G, dtype=kmat.dtype))
+    # kron matrices are shipped in the acc dtype: at D=128 the f32 pair
+    # would cost 8 MB of VMEM on its own
+    kdt = jnp.dtype(acc_dtype)
+    kronA = jnp.kron(jnp.eye(Gb, dtype=kmat.dtype), kmat.T).astype(kdt)
+    kronB = jnp.kron(kmat.T, jnp.eye(Gb, dtype=kmat.dtype)).astype(kdt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B // S,),
@@ -321,11 +340,11 @@ def _pallas_forward(
                 (D, D), lambda p, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G * D, G * D), lambda p, *_: (0, 0),
+                (Gb * D, Gb * D), lambda p, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G * D, G * D), lambda p, *_: (0, 0),
+                (Gb * D, Gb * D), lambda p, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -339,23 +358,16 @@ def _pallas_forward(
                 memory_space=pltpu.VMEM,
             ),
         ),
-        # At D=128 two fp32 D^3 grids (16.8 MB) exceed VMEM; store the
-        # occupancy grids in the acc dtype there (bf16 perf mode). D<=64
-        # keeps fp32 scratches in every mode.
         scratch_shapes=[
-            pltpu.VMEM(
-                (D + G, D, D),
-                jnp.float32 if D <= 64 else jnp.dtype(acc_dtype),
-            ),
-            pltpu.VMEM(
-                (D, D, D),
-                jnp.float32 if D <= 64 else jnp.dtype(acc_dtype),
-            ),
+            pltpu.VMEM((D + G, D, D), jnp.float32),
         ],
     )
     sil, depth = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((B, D, D), jnp.float32),
             jax.ShapeDtypeStruct((B, D, D), jnp.float32),

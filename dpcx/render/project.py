@@ -107,13 +107,9 @@ def pointcloud_project(
         and rgb is None
         and cfg.proj_type == "drc"
         and not return_voxels
-        # The fused kernel targets D <= 64: at D=128 two D^3 VMEM grids
-        # exceed the 16 MB budget and the y-slab blur pass violates
-        # Mosaic's sublane alignment (G=512/D=4 < 8). 128^3 runs on the
-        # XLA matmul path below (grids live in HBM); a two-stage split
-        # kernel (splat+blur_xy in VMEM, blur_z+DRC in XLA) is the planned
-        # upgrade.
-        and D <= 64
+        # Single fp32 D^3 grid in VMEM caps the fused kernel at D=128
+        # (8.7 MB at 128; beyond that a z-blocked variant is needed).
+        and D <= 128
     ):
         # fused TPU kernel path (stage 2-4 in one pallas_call)
         from dpcx.render.pallas_kernel import pallas_project
