@@ -238,6 +238,370 @@ def _fused_kernel(
     jax.lax.fori_loop(0, counts_ref[1], sample_body, 0)
 
 
+def _fused_bwd_kernel(
+    zbase_ref,    # [B, n_chunks] int32 (SMEM)
+    ntrips_ref,   # [B, n_chunks] int32 (SMEM)
+    counts_ref,   # [2] int32 (SMEM): (n_chunks, S)
+    g_ref,        # [S, 4, N] z-sorted coords (z, y, x, w), points on lanes
+    kmat_ref,     # [D, D]
+    kronA_ref,    # [Gb*D, Gb*D]
+    kronB_ref,    # [Gb*D, Gb*D]
+    dsil_ref,     # [S, D, D] cotangent of the silhouette
+    ddepth_ref,   # [S, D, D] cotangent of the depth map
+    dout_ref,     # [S, 4, N] out: d(z, y, x, w) per sorted point
+    grid_ref,     # [D + G, D, D] f32 scratch
+    *,
+    num_points: int,
+    vox: int,
+    z_group: int,
+    blur_group: int,
+    n_chunk: int,
+    samples_per_program: int,
+    with_depth: bool,
+    acc_dtype,
+):
+    """Handwritten backward of splat -> blur -> DRC.
+
+    Per sample: (A) recompute the blurred occupancy grid exactly as the
+    forward does; (B) one DRC forward pass accumulating
+    Total = sum_z p_z*phi_z (+ d_bg term), phi_z = dsil + ddepth*d_z;
+    (C) a second pass converting o_z -> dL/do_z in place using
+    dL/do_z = T_z*phi_z - R_z/(1-o_z) with R_z = Total - prefix_z
+    (the cumprod gradient without materializing per-z transmittances);
+    (D) blur backward = the same symmetric Toeplitz matmuls; (E) splat
+    backward per chunk window: with a_t the forward left operand,
+    v = dG @ wx^T gives dL/da_t and t1 = dG^T @ a_t gives dL/dwx, from
+    which the coordinate gradients are hat-derivative masked row/column
+    reductions — all in the points-on-lanes layout, two extra MXU matmuls
+    per trip.
+    """
+    D, G, C = vox, z_group, n_chunk
+    Gb = blur_group
+    S = samples_per_program
+    grid_dtype = grid_ref.dtype
+    prog = pl.program_id(0)
+    mxu_prec = (
+        jax.lax.Precision.HIGHEST
+        if acc_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    cell_sub = _iota_f32((D, 1), 0)                      # [D, 1]
+    row_z = jnp.floor(_iota_f32((G * D, 1), 0) / D)      # [G*D, 1]
+
+    def hat_t(cells_col, coord_row):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_row - cells_col))
+
+    def dhat_t(cells_col, coord_row):
+        # d/d(coord) relu(1 - |coord - cell|) = -sign(coord - cell) inside
+        # the support, 0 outside
+        diff = coord_row - cells_col
+        return jnp.where(
+            jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0
+        )
+
+    kmat = kmat_ref[:].astype(acc_dtype)
+    kronA = kronA_ref[:].astype(acc_dtype)
+    kronB = kronB_ref[:].astype(acc_dtype)
+    n_bgroups = D // Gb
+
+    def sample_body(s, _):
+        b = prog * S + s
+
+        # ---- (A) recompute splat + blur (identical to forward) ----
+        grid_ref[:] = jnp.zeros((D + G, D, D), grid_dtype)
+
+        def chunk_fwd(c, _):
+            zb = zbase_ref[b, c]
+            nt = ntrips_ref[b, c]
+            gz = g_ref[s, 0:1, pl.ds(c * C, C)]
+            gy = g_ref[s, 1:2, pl.ds(c * C, C)]
+            gx = g_ref[s, 2:3, pl.ds(c * C, C)]
+            pw = g_ref[s, 3:4, pl.ds(c * C, C)]
+            wy_t = pltpu.repeat(
+                hat_t(cell_sub, gy).astype(acc_dtype), G, axis=0
+            )
+            wx_t = hat_t(cell_sub, gx).astype(acc_dtype)
+
+            def trip(k, _):
+                z0 = zb + k * G
+                ids = row_z + z0.astype(jnp.float32)
+                a_t = (hat_t(ids, gz) * pw).astype(acc_dtype) * wy_t
+                slab = jax.lax.dot_general(
+                    a_t, wx_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec,
+                )
+                grid_ref[pl.ds(z0, G), :, :] += slab.reshape(
+                    G, D, D
+                ).astype(grid_dtype)
+                return 0
+
+            jax.lax.fori_loop(0, nt, trip, 0)
+            return 0
+
+        jax.lax.fori_loop(0, counts_ref[0], chunk_fwd, 0)
+
+        def blur_xy(zg, _):
+            x = (
+                grid_ref[pl.ds(zg * Gb, Gb), :, :]
+                .reshape(Gb * D, D)
+                .astype(acc_dtype)
+            )
+            t = jax.lax.dot_general(
+                kronA, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_prec,
+            )
+            t = jax.lax.dot_general(
+                t.astype(acc_dtype), kmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_prec,
+            )
+            grid_ref[pl.ds(zg * Gb, Gb), :, :] = t.reshape(
+                Gb, D, D
+            ).astype(grid_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_bgroups, blur_xy, 0)
+
+        def blur_z(yg, _):
+            x = (
+                grid_ref[:D, pl.ds(yg * Gb, Gb), :]
+                .reshape(D * Gb, D)
+                .astype(acc_dtype)
+            )
+            t = jax.lax.dot_general(
+                kronB, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_prec,
+            )
+            grid_ref[:D, pl.ds(yg * Gb, Gb), :] = t.reshape(
+                D, Gb, D
+            ).astype(grid_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_bgroups, blur_z, 0)
+
+        ds = dsil_ref[pl.ds(s, 1)].reshape(D, D)
+        dd = ddepth_ref[pl.ds(s, 1)].reshape(D, D)
+
+        def phi(z_scalar):
+            if with_depth:
+                d_z = (z_scalar + 0.5) / D - 0.5
+                return ds + dd * d_z
+            return ds
+
+        # ---- (B) DRC forward pass: Total ----
+        def total_body(zg, carry):
+            total, trans = carry
+            og = grid_ref[pl.ds(zg * Gb, Gb), :, :]
+            for g in range(Gb):
+                o = jnp.clip(og[g].astype(jnp.float32), 0.0, 1.0 - 1e-5)
+                z_f = (zg * Gb + g).astype(jnp.float32)
+                total = total + o * trans * phi(z_f)
+                trans = trans * (1.0 - o)
+            return total, trans
+
+        zero = jnp.zeros((D, D), jnp.float32)
+        total, trans_final = jax.lax.fori_loop(
+            0, n_bgroups, total_body,
+            (zero, jnp.ones((D, D), jnp.float32)),
+        )
+        if with_depth:
+            total = total + dd * 1.0 * trans_final  # background depth term
+
+        # ---- (C) o -> dL/do in place ----
+        def do_body(zg, carry):
+            prefix, trans = carry
+            og = grid_ref[pl.ds(zg * Gb, Gb), :, :]
+            outs = []
+            for g in range(Gb):
+                o_raw = og[g].astype(jnp.float32)
+                o = jnp.clip(o_raw, 0.0, 1.0 - 1e-5)
+                z_f = (zg * Gb + g).astype(jnp.float32)
+                ph = phi(z_f)
+                prefix = prefix + o * trans * ph
+                do = trans * ph - (total - prefix) / (1.0 - o)
+                # clip backward: zero gradient where the forward clipped
+                do = jnp.where(o_raw < 1.0 - 1e-5, do, 0.0)
+                outs.append(do.astype(grid_dtype))
+                trans = trans * (1.0 - o)
+            grid_ref[pl.ds(zg * Gb, Gb), :, :] = jnp.stack(outs, axis=0)
+            return prefix, trans
+
+        jax.lax.fori_loop(
+            0, n_bgroups, do_body,
+            (zero, jnp.ones((D, D), jnp.float32)),
+        )
+        # zero the pad slabs so splat-bwd windows reaching into the pad
+        # contribute nothing (matches the forward's discard semantics)
+        grid_ref[pl.ds(D, G), :, :] = jnp.zeros((G, D, D), grid_dtype)
+
+        # ---- (D) blur backward: same symmetric Toeplitz matmuls ----
+        jax.lax.fori_loop(0, n_bgroups, blur_z, 0)
+        jax.lax.fori_loop(0, n_bgroups, blur_xy, 0)
+
+        # ---- (E) splat backward per chunk window ----
+        def chunk_bwd(c, _):
+            zb = zbase_ref[b, c]
+            nt = ntrips_ref[b, c]
+            gz = g_ref[s, 0:1, pl.ds(c * C, C)]
+            gy = g_ref[s, 1:2, pl.ds(c * C, C)]
+            gx = g_ref[s, 2:3, pl.ds(c * C, C)]
+            pw = g_ref[s, 3:4, pl.ds(c * C, C)]
+            hy = hat_t(cell_sub, gy)
+            dhy = dhat_t(cell_sub, gy)
+            wy_t = pltpu.repeat(hy.astype(acc_dtype), G, axis=0)
+            dwy_t = pltpu.repeat(dhy.astype(acc_dtype), G, axis=0)
+            wx_t = hat_t(cell_sub, gx).astype(acc_dtype)    # [D, C]
+            dwx_t = dhat_t(cell_sub, gx).astype(acc_dtype)  # [D, C]
+
+            def trip(k, carry):
+                agz, agy, agx, apw = carry
+                z0 = zb + k * G
+                ids = row_z + z0.astype(jnp.float32)
+                hz = hat_t(ids, gz).astype(acc_dtype)        # [G*D, C]
+                dhz = dhat_t(ids, gz).astype(acc_dtype)
+                a_t = (hz * pw.astype(acc_dtype)) * wy_t     # [G*D, C]
+                dgw = (
+                    grid_ref[pl.ds(z0, G), :, :]
+                    .reshape(G * D, D)
+                    .astype(acc_dtype)
+                )
+                # dL/da_t[r, c] = sum_x dG[r, x] wx[x, c]
+                v = jax.lax.dot_general(
+                    dgw, wx_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec,
+                )  # [G*D, C]
+                # dL/dwx[x, c] = sum_r dG[r, x] a_t[r, c]
+                t1 = jax.lax.dot_general(
+                    dgw, a_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_prec,
+                )  # [D, C]
+                pw32 = pw
+                hz32 = hz.astype(jnp.float32)
+                wy32 = wy_t.astype(jnp.float32)
+                agz = agz + jnp.sum(
+                    v * (dhz.astype(jnp.float32) * wy32), axis=0,
+                    keepdims=True,
+                ) * pw32
+                agy = agy + jnp.sum(
+                    v * (hz32 * dwy_t.astype(jnp.float32)), axis=0,
+                    keepdims=True,
+                ) * pw32
+                agx = agx + jnp.sum(
+                    t1 * dwx_t.astype(jnp.float32), axis=0, keepdims=True
+                )
+                apw = apw + jnp.sum(v * (hz32 * wy32), axis=0, keepdims=True)
+                return agz, agy, agx, apw
+
+            z1 = jnp.zeros((1, C), jnp.float32)
+            agz, agy, agx, apw = jax.lax.fori_loop(
+                0, nt, trip, (z1, z1, z1, z1)
+            )
+            dout_ref[s, 0:1, pl.ds(c * C, C)] = agz
+            dout_ref[s, 1:2, pl.ds(c * C, C)] = agy
+            dout_ref[s, 2:3, pl.ds(c * C, C)] = agx
+            dout_ref[s, 3:4, pl.ds(c * C, C)] = apw
+            return 0
+
+        jax.lax.fori_loop(0, counts_ref[0], chunk_bwd, 0)
+        return 0
+
+    jax.lax.fori_loop(0, counts_ref[1], sample_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vox", "with_depth", "acc_dtype", "interpret"),
+)
+def _pallas_backward(
+    sorted_t: jax.Array,  # [B, 4, N]
+    kmat: jax.Array,
+    d_sil: jax.Array,     # [B, D, D]
+    d_depth: jax.Array,   # [B, D, D]
+    vox: int,
+    with_depth: bool,
+    acc_dtype: str = "float32",
+    interpret: bool = False,
+) -> jax.Array:
+    """-> d(sorted_t) [B, 4, N] via the handwritten backward kernel."""
+    B, _, N = sorted_t.shape
+    D = vox
+    G, C, S, Gb = _pack_params(B, N, D)
+    zb, nt = _window_metadata(sorted_t[:, 0, :], D, G, C)
+    n_chunks = N // C
+    kdt = jnp.dtype(acc_dtype)
+    kronA = jnp.kron(jnp.eye(Gb, dtype=kmat.dtype), kmat.T).astype(kdt)
+    kronB = jnp.kron(kmat.T, jnp.eye(Gb, dtype=kmat.dtype)).astype(kdt)
+    kernel = functools.partial(
+        _fused_bwd_kernel,
+        num_points=N,
+        vox=D,
+        z_group=G,
+        blur_group=Gb,
+        n_chunk=C,
+        samples_per_program=S,
+        with_depth=with_depth,
+        acc_dtype=kdt,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B // S,),
+        in_specs=[
+            pl.BlockSpec(
+                (S, 4, N), lambda p, *_: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (D, D), lambda p, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Gb * D, Gb * D), lambda p, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Gb * D, Gb * D), lambda p, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (S, D, D), lambda p, *_: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (S, D, D), lambda p, *_: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (S, 4, N), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D + G, D, D), jnp.float32),
+        ],
+    )
+    d_sorted = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 4, N), jnp.float32),
+        interpret=interpret,
+    )(
+        zb,
+        nt,
+        jnp.asarray([n_chunks, S], jnp.int32),
+        sorted_t,
+        kmat,
+        kronA,
+        kronB,
+        d_sil,
+        d_depth,
+    )
+    return d_sorted
+
+
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
     """(z_group, n_chunk): G*D ~ 512 lanes per window, C sized so a sorted
     chunk's typical z-span fits in about one window."""
@@ -268,50 +632,36 @@ def _window_metadata(
     return zb.astype(jnp.int32), nt.astype(jnp.int32)
 
 
+def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
+    """(G, C, S, Gb) tiling for the fused kernels."""
+    G, C = _pick_tiling(N, D)
+    S = B
+    while S > 1 and (B % S or S * N * 16 > 1024 * 1024):
+        S -= 1
+    while B % S:
+        S -= 1
+    Gb = min(D, 8)
+    return G, C, S, Gb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("vox", "with_depth", "acc_dtype", "interpret"),
 )
 def _pallas_forward(
-    coords_w: jax.Array,  # [B, N, 4] grid coords + folded weight
+    sorted_t: jax.Array,  # [B, 4, N] z-SORTED coords (z,y,x,w), pts on lanes
     kmat: jax.Array,      # [D, D]
     vox: int,
     with_depth: bool,
     acc_dtype: str = "float32",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    B, N, _ = coords_w.shape
+    B, _, N = sorted_t.shape
     D = vox
-    G, C = _pick_tiling(N, D)
-
-    # XLA pre-pass: sort points by depth so the kernel's windows are
-    # narrow. Multi-operand lax.sort carries the payload with the keys (no
-    # gather), and the kernel layout is [B, 4, N]: points on lanes.
-    gz, gy, gx, pw = (
-        coords_w[..., 0], coords_w[..., 1], coords_w[..., 2],
-        coords_w[..., 3],
-    )
-    gz, gy, gx, pw = jax.lax.sort(
-        (gz, gy, gx, pw), dimension=1, num_keys=1
-    )
-    sorted_t = jnp.stack([gz, gy, gx, pw], axis=1)  # [B, 4, N]
-    zb, nt = _window_metadata(gz, D, G, C)
+    G, C, S, Gb = _pack_params(B, N, D)
+    zb, nt = _window_metadata(sorted_t[:, 0, :], D, G, C)
     n_chunks = N // C
 
-    # Pack several samples into one program: the per-program fixed cost
-    # (launch sequencing + constant-block DMAs) measured ~35 us on v5e, so
-    # amortizing it across S samples is a first-order win. VMEM budget: the
-    # points block is S * N * 16 B.
-    S = B
-    while S > 1 and (B % S or S * N * 16 > 1024 * 1024):
-        S -= 1
-    while B % S:
-        S -= 1
-
-    # Blur group: dim-1 dynamic slices must be sublane-aligned (multiple
-    # of 8 for f32), so the blur uses its own group size independent of the
-    # splat window G (which only ever slices dim 0).
-    Gb = min(D, 8)
     kernel = functools.partial(
         _fused_kernel,
         num_points=N,
@@ -391,10 +741,12 @@ def _pallas_forward(
 
 
 def _xla_reference(
-    coords_w: jax.Array, kmat: jax.Array, vox: int, with_depth: bool
+    sorted_t: jax.Array, kmat: jax.Array, vox: int, with_depth: bool
 ) -> tuple[jax.Array, jax.Array]:
-    """Pure-XLA recompute of the fused kernel's math (for the VJP)."""
+    """Pure-XLA recompute of the fused kernel's math (VJP fallback for
+    shapes the handwritten backward kernel does not cover)."""
     D = vox
+    coords_w = jnp.moveaxis(sorted_t, 1, 2)  # [B, N, 4]
     g = coords_w[..., :3]
     pw = coords_w[..., 3]
     cells = jnp.arange(D, dtype=coords_w.dtype)
@@ -420,27 +772,40 @@ def _xla_reference(
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
 )
-def _fused_render(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
+def _fused_render(sorted_t, kmat, vox, with_depth, acc_dtype, interpret):
     return _pallas_forward(
-        coords_w, kmat, vox, with_depth, acc_dtype, interpret
+        sorted_t, kmat, vox, with_depth, acc_dtype, interpret
     )
 
 
-def _fused_fwd(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
+def _fused_fwd(sorted_t, kmat, vox, with_depth, acc_dtype, interpret):
     out = _pallas_forward(
-        coords_w, kmat, vox, with_depth, acc_dtype, interpret
+        sorted_t, kmat, vox, with_depth, acc_dtype, interpret
     )
-    return out, (coords_w, kmat)
+    return out, (sorted_t, kmat)
 
 
 def _fused_bwd(vox, with_depth, acc_dtype, interpret, res, cts):
-    coords_w, kmat = res
-    _, vjp = jax.vjp(
-        lambda c, k: _xla_reference(c, k, vox, with_depth), coords_w, kmat
-    )
+    """Backward: handwritten Pallas kernel for D <= 64 (the training
+    configs); XLA autodiff fallback otherwise.
+
+    NOTE: the cotangent for kmat (i.e. for the blur sigma) is ZERO on the
+    kernel path — the sigma anneal is a schedule, not a learned parameter.
+    The XLA fallback returns the true dkmat.
+    """
+    sorted_t, kmat = res
     d_sil, d_depth = cts
-    if not with_depth:
+    if d_depth is None or not with_depth:
         d_depth = jnp.zeros_like(d_sil)
+    if vox <= 64:
+        d_sorted = _pallas_backward(
+            sorted_t, kmat, d_sil, d_depth, vox, with_depth, acc_dtype,
+            interpret,
+        )
+        return d_sorted, jnp.zeros_like(kmat)
+    _, vjp = jax.vjp(
+        lambda c, k: _xla_reference(c, k, vox, with_depth), sorted_t, kmat
+    )
     return vjp((d_sil, d_depth))
 
 
@@ -473,8 +838,14 @@ def pallas_project(
         else point_weights
     )
     coords_w = jnp.concatenate([g, pw[..., None]], axis=-1)
+    # depth-sort OUTSIDE the custom-vjp op: argsort + take_along_axis is
+    # plainly differentiable, so XLA autodiff handles the un-sort of the
+    # backward kernel's cotangents.
+    order = jnp.argsort(coords_w[..., 0], axis=1)
+    sorted_cw = jnp.take_along_axis(coords_w, order[..., None], axis=1)
+    sorted_t = jnp.moveaxis(sorted_cw, 2, 1)  # [B, 4, N], points on lanes
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
     sil, depth = _fused_render(
-        coords_w, kmat, vox_size, with_depth, acc_dtype, interpret
+        sorted_t, kmat, vox_size, with_depth, acc_dtype, interpret
     )
     return sil, (depth if with_depth else None)

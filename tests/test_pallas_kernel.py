@@ -74,6 +74,23 @@ def test_pallas_gradients_match_scatter_path():
     assert float(jnp.abs(gp).max()) > 0
 
 
+def test_pallas_vjp_finite_differences():
+    """SURVEY.md §4 item 3: finite-difference check of the custom VJP on
+    small shapes (includes the splat gather, blur transpose, and cumprod
+    gradients)."""
+    from jax.test_util import check_grads
+
+    pts = _ndc_points(jax.random.PRNGKey(7), b=1, n=16) * 0.6
+
+    def f(p):
+        sil, depth = pallas_project(
+            p, D, SIGMA * D, RADIUS, with_depth=True, interpret=True
+        )
+        return (sil**2).sum() + (depth**2).sum()
+
+    check_grads(f, (pts,), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
 def test_pallas_out_of_bounds_safe():
     pts = jnp.asarray([[[2.0, -3.0, 0.9], [0.0, 0.0, 0.0]]])
     sil, _ = pallas_project(pts, D, SIGMA * D, RADIUS, interpret=True)
