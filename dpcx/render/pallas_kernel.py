@@ -24,9 +24,10 @@ Design (one grid program per batch sample):
    distribution because trips extend until the chunk's span is covered.
    The grid scratch has G pad slabs at the top: out-of-range cells land in
    the pad and are never read (== the reference's out-of-grid clipping).
-2. BLUR — separable Gaussian as Toeplitz matmuls with K [D, D] (values
-   traced, so sigma annealing never recompiles): per-z-slab K^T (slab @ K),
-   then per-y-slab K^T @ slab for the z axis into a second scratch.
+2. BLUR — separable Gaussian as blockwise IN-PLACE Toeplitz/Kronecker
+   matmuls with K [D, D] (values traced, so sigma annealing never
+   recompiles): kron(I_Gb, K^T) @ X @ K per Gb z-slabs, then
+   kron(K^T, I_Gb) @ X per Gb y-slabs — a single D^3 VMEM grid suffices.
 3. DRC — running-transmittance loop over z (VPU):
        p_z = o_z * T;  sil += p_z;  depth += d_z * p_z;  T *= (1 - o_z)
 
@@ -34,10 +35,14 @@ acc_dtype selects fp32 parity mode (HIGHEST matmul precision — this JAX
 build defaults f32 matmuls to a single bf16 MXU pass, ~3e-3 rel error) or
 bf16 perf mode (bf16 operands, fp32 accumulate).
 
-The custom VJP recomputes the forward in pure XLA and differentiates it
-(splat grad = trilinear gather; cumprod grad via XLA's cumprod VJP) — the
-Pallas kernel accelerates the forward; a handwritten backward kernel is a
-later optimization (SURVEY.md §7 "VJP fidelity").
+BACKWARD (SURVEY.md §7 "VJP fidelity"): a handwritten backward kernel
+(_fused_bwd_kernel) covers D <= 64 — DRC cotangent via the
+total-minus-prefix identity dL/do_z = T_z phi_z - (Total - prefix_z)/(1-o_z),
+blur backward through the same symmetric Toeplitz matmuls, and splat
+coordinate gradients from two extra MXU matmuls per window trip with
+hat-derivative masks. The forward sorts with a multi-operand lax.sort
+carrying an index payload (no gather); the backward un-sorts its cotangents
+with one gather. D > 64 falls back to differentiating a pure-XLA recompute.
 """
 
 from __future__ import annotations
@@ -769,31 +774,55 @@ def _xla_reference(
     return sil, depth
 
 
+def _sort_with_order(coords_w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Depth-sort via multi-operand lax.sort with an index payload — far
+    cheaper on TPU than argsort + take_along_axis (no gather in the
+    forward). Returns ([B, 4, N] sorted, [B, N] original indices)."""
+    B, N, _ = coords_w.shape
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    gz, gy, gx, pw, order = jax.lax.sort(
+        (
+            coords_w[..., 0],
+            coords_w[..., 1],
+            coords_w[..., 2],
+            coords_w[..., 3],
+            idx,
+        ),
+        dimension=1,
+        num_keys=1,
+    )
+    return jnp.stack([gz, gy, gx, pw], axis=1), order
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
 )
-def _fused_render(sorted_t, kmat, vox, with_depth, acc_dtype, interpret):
+def _fused_render(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
+    sorted_t, _ = _sort_with_order(coords_w)
     return _pallas_forward(
         sorted_t, kmat, vox, with_depth, acc_dtype, interpret
     )
 
 
-def _fused_fwd(sorted_t, kmat, vox, with_depth, acc_dtype, interpret):
+def _fused_fwd(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
+    sorted_t, order = _sort_with_order(coords_w)
     out = _pallas_forward(
         sorted_t, kmat, vox, with_depth, acc_dtype, interpret
     )
-    return out, (sorted_t, kmat)
+    return out, (sorted_t, order, kmat)
 
 
 def _fused_bwd(vox, with_depth, acc_dtype, interpret, res, cts):
     """Backward: handwritten Pallas kernel for D <= 64 (the training
-    configs); XLA autodiff fallback otherwise.
+    configs); XLA autodiff fallback otherwise. Cotangents come back in
+    sorted order and are un-sorted with one gather here (the forward pays
+    no gather at all).
 
     NOTE: the cotangent for kmat (i.e. for the blur sigma) is ZERO on the
     kernel path — the sigma anneal is a schedule, not a learned parameter.
     The XLA fallback returns the true dkmat.
     """
-    sorted_t, kmat = res
+    sorted_t, order, kmat = res
     d_sil, d_depth = cts
     if d_depth is None or not with_depth:
         d_depth = jnp.zeros_like(d_sil)
@@ -802,11 +831,19 @@ def _fused_bwd(vox, with_depth, acc_dtype, interpret, res, cts):
             sorted_t, kmat, d_sil, d_depth, vox, with_depth, acc_dtype,
             interpret,
         )
-        return d_sorted, jnp.zeros_like(kmat)
-    _, vjp = jax.vjp(
-        lambda c, k: _xla_reference(c, k, vox, with_depth), sorted_t, kmat
+        dkmat = jnp.zeros_like(kmat)
+    else:
+        _, vjp = jax.vjp(
+            lambda c, k: _xla_reference(c, k, vox, with_depth),
+            sorted_t,
+            kmat,
+        )
+        d_sorted, dkmat = vjp((d_sil, d_depth))
+    inv = jnp.argsort(order, axis=1)
+    d_cw = jnp.take_along_axis(
+        jnp.moveaxis(d_sorted, 1, 2), inv[..., None], axis=1
     )
-    return vjp((d_sil, d_depth))
+    return d_cw, dkmat
 
 
 _fused_render.defvjp(_fused_fwd, _fused_bwd)
@@ -838,14 +875,8 @@ def pallas_project(
         else point_weights
     )
     coords_w = jnp.concatenate([g, pw[..., None]], axis=-1)
-    # depth-sort OUTSIDE the custom-vjp op: argsort + take_along_axis is
-    # plainly differentiable, so XLA autodiff handles the un-sort of the
-    # backward kernel's cotangents.
-    order = jnp.argsort(coords_w[..., 0], axis=1)
-    sorted_cw = jnp.take_along_axis(coords_w, order[..., None], axis=1)
-    sorted_t = jnp.moveaxis(sorted_cw, 2, 1)  # [B, 4, N], points on lanes
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
     sil, depth = _fused_render(
-        sorted_t, kmat, vox_size, with_depth, acc_dtype, interpret
+        coords_w, kmat, vox_size, with_depth, acc_dtype, interpret
     )
     return sil, (depth if with_depth else None)
