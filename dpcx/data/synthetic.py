@@ -192,10 +192,25 @@ def make_dataset(
     gt_points: int = 16000,
 ) -> dict:
     """Stacked records for ``num_models`` models (host-side loop over the
-    jit-compiled per-model generator)."""
+    jit-compiled per-model generator).
+
+    ``category="multi"`` cycles through all categories (the joint
+    multi-category training setup of BASELINE config 4); the per-model
+    category index is recorded in ``category_idx``.
+    """
     category = category or cfg.category
-    if category not in _CATEGORY_FNS:
-        category = "chair"
     keys = jax.random.split(jax.random.PRNGKey(seed), num_models)
-    records = [make_model(k, cfg, category, gt_points) for k in keys]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *records)
+    if category == "multi":
+        cats = [CATEGORIES[i % len(CATEGORIES)] for i in range(num_models)]
+    else:
+        if category not in _CATEGORY_FNS:
+            category = "chair"
+        cats = [category] * num_models
+    records = [
+        make_model(k, cfg, c, gt_points) for k, c in zip(keys, cats)
+    ]
+    out = jax.tree.map(lambda *xs: jnp.stack(xs), *records)
+    out["category_idx"] = jnp.asarray(
+        [CATEGORIES.index(c) for c in cats], jnp.int32
+    )
+    return out

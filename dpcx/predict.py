@@ -102,20 +102,34 @@ def evaluate(
     preds = predict_dataset(cfg, params, dataset, view_idx, batch_size)
     gt = jnp.asarray(dataset.records["gt_points"], jnp.float32)
     pred_pts = jnp.asarray(preds["points"], jnp.float32)
-    cd = chamfer_distance(pred_pts, gt)
-    metrics = {
-        "chamfer": float(jnp.mean(cd["chamfer"])),
-        "chamfer_pred_to_gt": float(jnp.mean(cd["pred_to_gt"])),
-        "chamfer_gt_to_pred": float(jnp.mean(cd["gt_to_pred"])),
-    }
+    metrics: dict[str, float] = {}
     if "pose" in preds:
         gt_quats = jnp.asarray(
             dataset.records["quats"][:, view_idx], jnp.float32
         )
         pred_quats = jnp.asarray(preds["pose"], jnp.float32)
-        # unsupervised pose is defined up to a global canonical rotation
-        _, aligned = align_canonical_frame(pred_quats, gt_quats)
+        # Unsupervised pose is defined up to a global canonical rotation
+        # (SURVEY.md §3.2): estimate it from the pose pairs, then rotate
+        # the predicted clouds (canonical frame) into the world frame
+        # before Chamfer — p_world = R(conj(q_align)) p_canonical.
+        q_align, aligned = align_canonical_frame(pred_quats, gt_quats)
         pm = pose_error_metrics(aligned, gt_quats)
         metrics["pose_acc_30deg"] = float(pm["acc_30deg"])
         metrics["pose_median_err_deg"] = float(pm["median_err_deg"])
+        from dpcx.geometry.quaternion import (
+            quaternion_conjugate,
+            quaternion_rotate,
+        )
+
+        pred_pts = quaternion_rotate(
+            pred_pts, quaternion_conjugate(q_align)[None]
+        )
+    cd = chamfer_distance(pred_pts, gt)
+    metrics.update(
+        {
+            "chamfer": float(jnp.mean(cd["chamfer"])),
+            "chamfer_pred_to_gt": float(jnp.mean(cd["pred_to_gt"])),
+            "chamfer_gt_to_pred": float(jnp.mean(cd["gt_to_pred"])),
+        }
+    )
     return metrics

@@ -61,3 +61,15 @@ def test_datagen_deterministic():
     r1 = make_model(jax.random.PRNGKey(7), CFG, "car", gt_points=200)
     r2 = make_model(jax.random.PRNGKey(7), CFG, "car", gt_points=200)
     np.testing.assert_allclose(r1["masks"], r2["masks"])
+
+
+def test_multi_category_dataset():
+    records = make_dataset(CFG, 4, seed=0, category="multi", gt_points=200)
+    assert "category_idx" in records
+    idx = np.asarray(records["category_idx"])
+    assert set(idx.tolist()) == {0, 1, 2}  # cycles chair/car/airplane + wrap
+    from dpcx.data.dataset import Dataset
+
+    ds = Dataset(records, CFG)
+    b = ds.batch(np.random.default_rng(0), 3)
+    assert b["image"].shape[0] == 3
