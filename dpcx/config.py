@@ -79,6 +79,7 @@ class Config:
     max_number_of_steps: int = 100_000
     save_every: int = 2000
     log_every: int = 100
+    eval_every: int = 0                # 0 = no periodic eval during train
     seed: int = 0
     compute_dtype: str = "bfloat16"    # encoder/decoder matmul dtype
     renderer_dtype: str = "float32"    # splat/blur/DRC accumulate dtype

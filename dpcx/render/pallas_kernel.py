@@ -615,7 +615,7 @@ def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
         g -= 1
     # smaller chunks at large D keep the [G*D, C] trip temporaries small
     # enough for VMEM (D=128 sits ~1 MB from the scoped limit)
-    c = min(num_points, 1024 if vox <= 64 else 512)
+    c = min(num_points, 512)
     while num_points % c:
         c -= 1
     return g, c
@@ -640,8 +640,9 @@ def _window_metadata(
 def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
     """(G, C, S, Gb) tiling for the fused kernels."""
     G, C = _pick_tiling(N, D)
+    budget = (2 if D <= 64 else 1) * 1024 * 1024
     S = B
-    while S > 1 and (B % S or S * N * 16 > 1024 * 1024):
+    while S > 1 and (B % S or S * N * 16 > budget):
         S -= 1
     while B % S:
         S -= 1

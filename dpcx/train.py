@@ -140,6 +140,7 @@ def train(
     max_steps: int | None = None,
     mesh=None,
     use_checkpoints: bool = True,
+    eval_dataset: Dataset | None = None,
 ) -> tuple[TrainState, list[dict]]:
     """Full training entry (ref: dpc/run/train_eval.py::main)."""
     if mesh is None:
@@ -182,6 +183,21 @@ def train(
         if mngr is not None and (step + 1) % cfg.save_every == 0:
             save_checkpoint(mngr, state)
             _write_image_summary(cfg, state, batch, step + 1)
+        if (
+            cfg.eval_every
+            and eval_dataset is not None
+            and (step + 1) % cfg.eval_every == 0
+        ):
+            # periodic held-out eval (ref: train_eval.py's periodic eval)
+            from dpcx.predict import evaluate
+
+            val = evaluate(
+                cfg, state.params, eval_dataset,
+                batch_size=min(cfg.batch_size, eval_dataset.num_models),
+            )
+            val_rec = {f"val_{k}": v for k, v in val.items()}
+            writer.write(step + 1, val_rec)
+            history.append({"step": step + 1, **val_rec})
     if mngr is not None:
         save_checkpoint(mngr, state)
         mngr.wait_until_finished()

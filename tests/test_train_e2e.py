@@ -88,3 +88,16 @@ def test_predicted_pose_train_step():
                        batch_size=4)
     losses = _run_steps(cfg, 3)
     assert all(np.isfinite(losses))
+
+
+def test_periodic_eval_during_train():
+    cfg = TINY.replace(eval_every=2, batch_size=4)
+    ds = Dataset(make_dataset(cfg, 2, seed=0, gt_points=256), cfg)
+    ev = Dataset(make_dataset(cfg, 2, seed=9, gt_points=256), cfg)
+    from dpcx.train import train
+
+    _, hist = train(
+        cfg, dataset=ds, max_steps=4, use_checkpoints=False,
+        eval_dataset=ev,
+    )
+    assert any("val_chamfer" in h for h in hist)
