@@ -8,12 +8,18 @@ dense GT point cloud for Chamfer eval (the reference's "densify" step).
 """
 
 from dpcx.data.synthetic import make_dataset, sample_category_points
-from dpcx.data.dataset import Dataset, save_shards, load_shards
+from dpcx.data.dataset import (
+    Dataset,
+    load_external,
+    load_shards,
+    save_shards,
+)
 
 __all__ = [
     "make_dataset",
     "sample_category_points",
     "Dataset",
+    "load_external",
     "save_shards",
     "load_shards",
 ]

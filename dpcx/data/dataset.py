@@ -73,6 +73,43 @@ class Dataset:
         }
 
 
+def load_external(
+    pattern: str | Path, cfg: Config, limit: int | None = None
+) -> Dataset:
+    """Ingest externally produced npz shards (e.g. real ShapeNet renders)
+    behind the same Dataset interface.
+
+    Each shard must hold per-model arrays with matching view counts:
+    ``images [M, V, H, W, 3]`` float in [0,1], ``masks [M, V, D, D]``,
+    ``quats [M, V, 4]`` (w,x,y,z world->camera, SURVEY camera conventions),
+    optional ``depths [M, V, D, D]`` and ``gt_points [M, Ngt, 3]``.
+    Shards are concatenated along the model axis. This replaces the
+    reference's tfrecord ingestion of Blender renders (SURVEY.md §2.2 #16).
+    """
+    import glob as _glob
+
+    paths = sorted(_glob.glob(str(pattern)))
+    if not paths:
+        raise FileNotFoundError(f"no shards match {pattern}")
+    parts = [load_shards(p) for p in paths]
+    keys = set(parts[0])
+    for p in parts[1:]:
+        keys &= set(p)
+    records = {
+        k: np.concatenate([np.asarray(p[k]) for p in parts], axis=0)
+        for k in keys
+    }
+    if "depths" not in records:
+        records["depths"] = np.ones_like(records["masks"], np.float32)
+    if "gt_points" not in records:
+        records["gt_points"] = np.zeros(
+            (records["images"].shape[0], 1, 3), np.float32
+        )
+    if limit:
+        records = {k: v[:limit] for k, v in records.items()}
+    return Dataset(records, cfg)
+
+
 def save_shards(records: dict, path: str | Path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -87,8 +124,16 @@ def load_shards(path: str | Path) -> dict:
 
 
 def load_or_make(cfg: Config, num_models: int, seed: int = 0) -> Dataset:
-    """Load cached shards if present, else generate + cache."""
+    """Load cached shards if present, else generate + cache.
+
+    cfg.dataset == "npz" ingests externally produced shards from
+    cfg.data_dir instead of generating synthetic data."""
     from dpcx.data.synthetic import make_dataset
+
+    if cfg.dataset == "npz":
+        return load_external(
+            Path(cfg.data_dir) / "*.npz", cfg, limit=num_models or None
+        )
 
     cache = (
         Path(cfg.data_dir)

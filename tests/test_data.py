@@ -73,3 +73,21 @@ def test_multi_category_dataset():
     ds = Dataset(records, CFG)
     b = ds.batch(np.random.default_rng(0), 3)
     assert b["image"].shape[0] == 3
+
+
+def test_load_external_shards(tmp_path):
+    """External npz ingestion (real-data path) concatenates shards and
+    fills optional fields."""
+    from dpcx.data.dataset import load_external
+
+    r1 = make_dataset(CFG, 2, seed=0, gt_points=100)
+    r2 = make_dataset(CFG, 2, seed=1, gt_points=100)
+    # simulate external shards without depths/gt
+    for i, r in enumerate([r1, r2]):
+        slim = {k: np.asarray(v) for k, v in r.items()
+                if k in ("images", "masks", "quats")}
+        save_shards(slim, tmp_path / f"shard_{i}.npz")
+    ds = load_external(tmp_path / "shard_*.npz", CFG)
+    assert ds.num_models == 4
+    b = ds.batch(np.random.default_rng(0), 3)
+    assert b["image"].shape[0] == 3
