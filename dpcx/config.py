@@ -88,6 +88,10 @@ class Config:
     dataset: str = "synthetic"         # synthetic | npz
     data_dir: str = "data"
     mask_size: int = 64                # projection/mask resolution (== D)
+    device_data: bool = True           # keep the dataset device-resident and
+                                       # sample batches inside the jitted
+                                       # scan (zero host work per step);
+                                       # disable for datasets too big for HBM
 
     # --- parallelism (new capability; reference is single-GPU) ---
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all devices, data-parallel

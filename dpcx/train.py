@@ -74,6 +74,78 @@ def train_step(
     return new_state, metrics
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps"),
+    donate_argnames=("state",),
+)
+def train_steps_scan(
+    cfg: Config,
+    state: TrainState,
+    records: dict[str, jax.Array],
+    key: jax.Array,
+    n_steps: int,
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """Run n_steps training steps entirely on device (lax.scan).
+
+    The dataset stays device-resident and batches are sampled inside the
+    scan with jax.random — the TPU-native replacement for the reference's
+    host-side tf.data feed (SURVEY.md §3.1 'device boundary per sess.run'):
+    here the host is involved once per n_steps, not once per step. Returns
+    the final state and the LAST step's metrics.
+    """
+    M, V = records["images"].shape[:2]
+    B = cfg.batch_size
+    V_use = min(cfg.views_per_step, V)
+
+    def body(carry, _):
+        state, key = carry
+        key, k_m, k_vin, k_tgt, k_drop = jax.random.split(key, 5)
+        m = jax.random.randint(k_m, (B,), 0, M)
+        v_in = jax.random.randint(k_vin, (B,), 0, V)
+        # target views without replacement: argsort of uniform keys
+        perm = jnp.argsort(
+            jax.random.uniform(k_tgt, (B, V)), axis=1
+        )[:, :V_use]
+        batch = {
+            "image": records["images"][m, v_in],
+            "masks": records["masks"][m[:, None], perm],
+            "depths": records["depths"][m[:, None], perm],
+            "quats": records["quats"][m[:, None], perm],
+        }
+        if cfg.predict_pose:
+            batch["quat_in"] = records["quats"][m, v_in]
+        if cfg.pc_rgb:
+            batch["images_tgt"] = records["images"][m[:, None], perm]
+
+        def loss_fn(params):
+            preds = state.apply_fn(params, batch["image"])
+            return compute_loss(
+                cfg, preds, batch, state.step, k_drop, train=True
+            )
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (new_state, key), metrics
+
+    (state, _), ms = jax.lax.scan(
+        body, (state, key), None, length=n_steps
+    )
+    return state, jax.tree.map(lambda x: x[-1], ms)
+
+
+def _device_records(dataset: Dataset) -> dict[str, jax.Array]:
+    keep = ("images", "masks", "depths", "quats")
+    return {
+        k: jnp.asarray(v, jnp.float32)
+        for k, v in dataset.records.items()
+        if k in keep
+    }
+
+
 class MetricWriter:
     """JSONL + stdout metric logging (stand-in for tf.summary scalars)."""
 
@@ -168,25 +240,54 @@ def train(
     history: list[dict] = []
     t0 = time.time()
     start_step = int(state.step)
-    for step in range(start_step, max_steps):
-        batch = dataset.batch(np_rng, cfg.batch_size)
-        batch = _prep_batch(batch, cfg)
-        batch = shard_batch(batch, mesh)
-        state, metrics = train_step(cfg, state, batch, data_key)
-        if (step + 1) % cfg.log_every == 0 or step == start_step:
+
+    # host-boundary cadence: the device-resident fast path advances
+    # `chunk` steps per host interaction (log/save/eval granularity)
+    use_device_data = cfg.device_data and mesh.devices.size == 1
+    chunk = max(
+        1,
+        min(
+            cfg.log_every,
+            cfg.save_every,
+            cfg.eval_every or cfg.save_every,
+        ),
+    )
+    dev_records = _device_records(dataset) if use_device_data else None
+
+    step = start_step
+    while step < max_steps:
+        if use_device_data:
+            n = min(chunk, max_steps - step)
+            data_key = jax.random.fold_in(data_key, step)
+            state, metrics = train_steps_scan(
+                cfg, state, dev_records, data_key, n
+            )
+            step += n
+            batch = None
+        else:
+            batch = dataset.batch(np_rng, cfg.batch_size)
+            batch = _prep_batch(batch, cfg)
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(cfg, state, batch, data_key)
+            step += 1
+        if step % cfg.log_every == 0 or step == start_step + 1:
             metrics = jax.device_get(metrics)
-            sps = (step + 1 - start_step) / max(time.time() - t0, 1e-9)
+            sps = (step - start_step) / max(time.time() - t0, 1e-9)
             metrics["steps_per_sec"] = sps
-            writer.write(step + 1, metrics)
-            history.append({"step": step + 1, **{
+            writer.write(step, metrics)
+            history.append({"step": step, **{
                 k: float(np.asarray(v)) for k, v in metrics.items()}})
-        if mngr is not None and (step + 1) % cfg.save_every == 0:
+        if mngr is not None and step % cfg.save_every == 0:
             save_checkpoint(mngr, state)
-            _write_image_summary(cfg, state, batch, step + 1)
+            if batch is None:
+                batch = _prep_batch(
+                    dataset.batch(np_rng, cfg.batch_size), cfg
+                )
+            _write_image_summary(cfg, state, batch, step)
         if (
             cfg.eval_every
             and eval_dataset is not None
-            and (step + 1) % cfg.eval_every == 0
+            and step % cfg.eval_every == 0
         ):
             # periodic held-out eval (ref: train_eval.py's periodic eval)
             from dpcx.predict import evaluate
@@ -196,8 +297,8 @@ def train(
                 batch_size=min(cfg.batch_size, eval_dataset.num_models),
             )
             val_rec = {f"val_{k}": v for k, v in val.items()}
-            writer.write(step + 1, val_rec)
-            history.append({"step": step + 1, **val_rec})
+            writer.write(step, val_rec)
+            history.append({"step": step, **val_rec})
     if mngr is not None:
         save_checkpoint(mngr, state)
         mngr.wait_until_finished()
