@@ -32,7 +32,7 @@ from dpcx.config import Config
 from dpcx.data.dataset import Dataset, load_or_make
 from dpcx.models.losses import compute_loss
 from dpcx.models.model_pc import ModelPointCloud
-from dpcx.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from dpcx.parallel.mesh import make_mesh, shard_batch
 
 
 class TrainState(train_state.TrainState):
