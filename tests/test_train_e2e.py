@@ -101,3 +101,19 @@ def test_periodic_eval_during_train():
         eval_dataset=ev,
     )
     assert any("val_chamfer" in h for h in hist)
+
+
+def test_device_resident_loop_learns():
+    """train_steps_scan path (single-device mesh): loss decreases."""
+    from dpcx.parallel.mesh import make_mesh
+    from dpcx.train import train
+
+    cfg = TINY.replace(batch_size=8, device_data=True, log_every=5)
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=512), cfg)
+    mesh = make_mesh(cfg, devices=jax.devices()[:1])
+    _, hist = train(
+        cfg, dataset=ds, max_steps=30, mesh=mesh, use_checkpoints=False
+    )
+    losses = [h["loss_total"] for h in hist if "loss_total" in h]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0] * 0.9
