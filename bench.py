@@ -50,11 +50,13 @@ def main() -> None:
         return s.sum()
 
     run(pts).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    run(pts).block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(2):  # best-of-2 damps tunnel/queue variance
+        t0 = time.perf_counter()
+        run(pts).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / iters)
 
-    mpts = B * N / dt / 1e6
+    mpts = B * N / best / 1e6
     print(
         json.dumps(
             {
