@@ -639,6 +639,11 @@ def _window_metadata(
 
 def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
     """(G, C, S, Gb) tiling for the fused kernels."""
+    if D % 8:
+        raise ValueError(
+            f"fused Pallas kernel requires vox_size % 8 == 0, got {D} "
+            "(blur/DRC process z in groups of 8 slabs)"
+        )
     G, C = _pick_tiling(N, D)
     budget = (2 if D <= 64 else 1) * 1024 * 1024
     S = B

@@ -97,8 +97,13 @@ def pointcloud_project(
         translation=None if translation is None else translation.astype(dtype),
     )
 
+    # radius must cover the widest sigma the anneal will ever use (an
+    # upward anneal would otherwise truncate the kernel for most of
+    # training)
     radius = kernel_radius(
-        cfg.pc_relative_sigma, D, cfg.gauss_kernel_truncate
+        max(cfg.pc_relative_sigma, cfg.pc_relative_sigma_end),
+        D,
+        cfg.gauss_kernel_truncate,
     )
     sigma_vox = jnp.asarray(sigma_rel, dtype) * D
 
@@ -106,7 +111,13 @@ def pointcloud_project(
         cfg.renderer == "pallas"
         and rgb is None
         and cfg.proj_type == "drc"
+        # the fused kernel has no log-space DRC variant; honor the flag
+        # by falling through to the XLA path
+        and not cfg.drc_logsum
         and not return_voxels
+        # blur/DRC loops process z in groups of 8 slabs; non-multiples
+        # would silently drop the top D % 8 slabs
+        and D % 8 == 0
         # Single fp32 D^3 grid in VMEM caps the fused kernel at D=128
         # (8.7 MB at 128; beyond that a z-blocked variant is needed).
         and D <= 128

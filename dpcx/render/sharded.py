@@ -38,7 +38,9 @@ def pointcloud_project_point_sharded(
     """Silhouettes [B, D, D] with the point axis sharded over ``axis``."""
     D = cfg.vox_size
     radius = kernel_radius(
-        cfg.pc_relative_sigma, D, cfg.gauss_kernel_truncate
+        max(cfg.pc_relative_sigma, cfg.pc_relative_sigma_end),
+        D,
+        cfg.gauss_kernel_truncate,
     )
     sigma_vox = jnp.asarray(sigma_rel, points.dtype) * D
 

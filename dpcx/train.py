@@ -164,6 +164,12 @@ class MetricWriter:
     def close(self) -> None:
         self._f.close()
 
+    def __enter__(self) -> "MetricWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
 
 def _checkpoint_manager(cfg: Config):
     import orbax.checkpoint as ocp
@@ -254,55 +260,61 @@ def train(
     )
     dev_records = _device_records(dataset) if use_device_data else None
 
-    step = start_step
-    while step < max_steps:
-        if use_device_data:
-            n = min(chunk, max_steps - step)
-            data_key = jax.random.fold_in(data_key, step)
-            state, metrics = train_steps_scan(
-                cfg, state, dev_records, data_key, n
-            )
-            step += n
-            batch = None
-        else:
-            batch = dataset.batch(np_rng, cfg.batch_size)
-            batch = _prep_batch(batch, cfg)
-            batch = shard_batch(batch, mesh)
-            state, metrics = train_step(cfg, state, batch, data_key)
-            step += 1
-        if step % cfg.log_every == 0 or step == start_step + 1:
-            metrics = jax.device_get(metrics)
-            sps = (step - start_step) / max(time.time() - t0, 1e-9)
-            metrics["steps_per_sec"] = sps
-            writer.write(step, metrics)
-            history.append({"step": step, **{
-                k: float(np.asarray(v)) for k, v in metrics.items()}})
-        if mngr is not None and step % cfg.save_every == 0:
-            save_checkpoint(mngr, state)
-            if batch is None:
-                batch = _prep_batch(
-                    dataset.batch(np_rng, cfg.batch_size), cfg
-                )
-            _write_image_summary(cfg, state, batch, step)
-        if (
-            cfg.eval_every
-            and eval_dataset is not None
-            and step % cfg.eval_every == 0
-        ):
-            # periodic held-out eval (ref: train_eval.py's periodic eval)
-            from dpcx.predict import evaluate
+    def crossed(prev: int, cur: int, every: int) -> bool:
+        # trigger on crossing a multiple of `every` — the device-resident
+        # path advances in chunks from an arbitrary resume step, so a plain
+        # modulo test could never fire
+        return every > 0 and cur // every > prev // every
 
-            val = evaluate(
-                cfg, state.params, eval_dataset,
-                batch_size=min(cfg.batch_size, eval_dataset.num_models),
-            )
-            val_rec = {f"val_{k}": v for k, v in val.items()}
-            writer.write(step, val_rec)
-            history.append({"step": step, **val_rec})
-    if mngr is not None:
-        save_checkpoint(mngr, state)
-        mngr.wait_until_finished()
-    writer.close()
+    with writer:
+        step = start_step
+        while step < max_steps:
+            prev_step = step
+            if use_device_data:
+                n = min(chunk, max_steps - step)
+                data_key = jax.random.fold_in(data_key, step)
+                state, metrics = train_steps_scan(
+                    cfg, state, dev_records, data_key, n
+                )
+                step += n
+                batch = None
+            else:
+                batch = dataset.batch(np_rng, cfg.batch_size)
+                batch = _prep_batch(batch, cfg)
+                batch = shard_batch(batch, mesh)
+                state, metrics = train_step(cfg, state, batch, data_key)
+                step += 1
+            if crossed(prev_step, step, cfg.log_every) or prev_step == start_step:
+                metrics = jax.device_get(metrics)
+                sps = (step - start_step) / max(time.time() - t0, 1e-9)
+                metrics["steps_per_sec"] = sps
+                writer.write(step, metrics)
+                history.append({"step": step, **{
+                    k: float(np.asarray(v)) for k, v in metrics.items()}})
+            if mngr is not None and crossed(prev_step, step, cfg.save_every):
+                save_checkpoint(mngr, state)
+                if batch is None:
+                    batch = _prep_batch(
+                        dataset.batch(np_rng, cfg.batch_size), cfg
+                    )
+                _write_image_summary(cfg, state, batch, step)
+            if (
+                eval_dataset is not None
+                and crossed(prev_step, step, cfg.eval_every or 0)
+            ):
+                # periodic held-out eval (ref: train_eval.py's periodic eval)
+                from dpcx.predict import evaluate
+
+                val = evaluate(
+                    cfg, state.params, eval_dataset,
+                    batch_size=min(cfg.batch_size, eval_dataset.num_models),
+                )
+                val_rec = {f"val_{k}": v for k, v in val.items()}
+                writer.write(step, val_rec)
+                history.append({"step": step, **val_rec})
+        if mngr is not None:
+            save_checkpoint(mngr, state)
+            mngr.wait_until_finished()
     return state, history
 
 

@@ -107,3 +107,43 @@ def test_project_dispatch_pallas_renderer():
     np.testing.assert_allclose(
         out_p.silhouette, out_x.silhouette, atol=2e-5
     )
+
+
+def test_project_dispatch_falls_through_on_unaligned_vox():
+    """vox_size % 8 != 0 must NOT reach the fused kernel (which would
+    silently drop the top D % 8 z-slabs): the dispatch falls back to the
+    XLA matmul path and matches the scatter oracle."""
+    cfg12 = Config(
+        vox_size=12, pc_relative_sigma=0.12, renderer="pallas"
+    )
+    pts = _ndc_points(jax.random.PRNGKey(5)) * 0.5
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (2, 1))
+    out_p = pointcloud_project(cfg12, pts, quat, SIGMA)
+    out_x = pointcloud_project(cfg12.replace(renderer="xla"), pts, quat,
+                               SIGMA)
+    np.testing.assert_allclose(
+        out_p.silhouette, out_x.silhouette, atol=2e-5
+    )
+
+
+def test_project_dispatch_honors_logsum_flag():
+    """drc_logsum=True must not silently use the kernel's product DRC."""
+    cfg = CFG.replace(renderer="pallas", drc_logsum=True)
+    pts = _ndc_points(jax.random.PRNGKey(6)) * 0.5
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (2, 1))
+    out_p = pointcloud_project(cfg, pts, quat, SIGMA)
+    out_x = pointcloud_project(
+        cfg.replace(renderer="xla"), pts, quat, SIGMA
+    )
+    np.testing.assert_allclose(
+        out_p.silhouette, out_x.silhouette, atol=2e-5
+    )
+
+
+def test_pack_params_rejects_unaligned_vox():
+    import pytest
+
+    from dpcx.render.pallas_kernel import _pack_params
+
+    with pytest.raises(ValueError):
+        _pack_params(2, 64, 12)

@@ -90,8 +90,10 @@ def test_predicted_pose_train_step():
     assert all(np.isfinite(losses))
 
 
-def test_periodic_eval_during_train():
-    cfg = TINY.replace(eval_every=2, batch_size=4)
+def test_periodic_eval_during_train(tmp_path):
+    cfg = TINY.replace(
+        eval_every=2, batch_size=4, checkpoint_dir=str(tmp_path)
+    )
     ds = Dataset(make_dataset(cfg, 2, seed=0, gt_points=256), cfg)
     ev = Dataset(make_dataset(cfg, 2, seed=9, gt_points=256), cfg)
     from dpcx.train import train
@@ -103,12 +105,15 @@ def test_periodic_eval_during_train():
     assert any("val_chamfer" in h for h in hist)
 
 
-def test_device_resident_loop_learns():
+def test_device_resident_loop_learns(tmp_path):
     """train_steps_scan path (single-device mesh): loss decreases."""
     from dpcx.parallel.mesh import make_mesh
     from dpcx.train import train
 
-    cfg = TINY.replace(batch_size=8, device_data=True, log_every=5)
+    cfg = TINY.replace(
+        batch_size=8, device_data=True, log_every=5,
+        checkpoint_dir=str(tmp_path),
+    )
     ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=512), cfg)
     mesh = make_mesh(cfg, devices=jax.devices()[:1])
     _, hist = train(
