@@ -28,6 +28,12 @@ class Config:
     pc_num_points: int = 8000
     pc_rgb: bool = False               # per-point RGB channels
     predict_scale: bool = True         # global sigmoid scale on the cloud
+    # anisotropic Gaussian splats (BASELINE config 5, no reference
+    # counterpart): per-point covariance + opacity, alpha-composited by
+    # the DRC reduction (dpcx/render/gsplat.py)
+    pc_gauss: bool = False
+    gauss_scale_min: float = 0.005     # per-axis stddev bounds, NDC units
+    gauss_scale_max: float = 0.06
     pc_decoder_hidden: tuple[int, ...] = (1024, 1024, 1024)
 
     # --- encoder (ref: dpc/nets/img_encoder.py) ---

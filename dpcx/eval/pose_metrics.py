@@ -53,14 +53,34 @@ def _rotation_grid(n: int = 512) -> jax.Array:
     )
 
 
+def _axis_sphere(n: int) -> jax.Array:
+    """n quasi-uniform unit axes (Fibonacci sphere)."""
+    i = jnp.arange(n, dtype=jnp.float32) + 0.5
+    phi = 2.0 * jnp.pi * i / 1.61803398875
+    cos_t = 1.0 - 2.0 * i / n
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t**2))
+    return jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+
+
 def align_canonical_frame(
-    pred_quats: jax.Array, gt_quats: jax.Array, grid_size: int = 2048
+    pred_quats: jax.Array,
+    gt_quats: jax.Array,
+    grid_size: int = 2048,
+    refine_iters: int = 4,
 ) -> tuple[jax.Array, jax.Array]:
     """Find global q_align minimizing mean angular error of
     pred * q_align vs gt. Returns (q_align, aligned_pred_quats).
 
     The predicted pose maps object->camera; the unknown canonical offset
     composes on the object side (right-multiplication).
+
+    Two stages: a coarse quasi-uniform SO(3) grid (whose ~10-15 deg
+    covering radius would otherwise floor the reported pose metrics),
+    then ``refine_iters`` rounds of local re-search — 48 Fibonacci axes x
+    2 magnitudes around the incumbent, shrinking the angular scale 0.35x
+    per round — leaving a <0.5 deg alignment residual.
     """
     grid = _rotation_grid(grid_size)  # [G, 4]
 
@@ -70,4 +90,26 @@ def align_canonical_frame(
 
     errs = jax.lax.map(mean_err, grid)
     best = grid[jnp.argmin(errs)]
+
+    axes = _axis_sphere(48)  # [A, 3]
+    scale = 0.25  # rad, ~ the 2048-grid covering radius
+
+    for _ in range(refine_iters):
+        half = jnp.asarray([scale, 0.5 * scale])[:, None, None] / 2.0
+        delta = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.cos(half), (2, axes.shape[0], 1)
+                ),
+                jnp.sin(half) * axes[None],
+            ],
+            axis=-1,
+        ).reshape(-1, 4)  # [2A, 4] small rotations
+        cands = jnp.concatenate(
+            [best[None], quaternion_multiply(best[None], delta)], axis=0
+        )
+        errs = jax.lax.map(mean_err, cands)
+        best = cands[jnp.argmin(errs)]
+        scale *= 0.35
+
     return best, quaternion_multiply(pred_quats, best[None])

@@ -29,7 +29,7 @@ from dpcx.geometry.quaternion import (
 )
 from dpcx.render.project import (
     keep_prob_schedule,
-    pointcloud_project,
+    pointcloud_project_fn,
     sigma_schedule,
 )
 from dpcx.render.voxelize import pc_point_dropout_weights
@@ -47,7 +47,7 @@ def _render_silhouettes(
     splat = cfg.xla_splat
     if splat == "auto":
         splat = "matmul" if jax.default_backend() == "tpu" else "scatter"
-    out = pointcloud_project(
+    out = pointcloud_project_fn(
         cfg,
         points,
         quats,
@@ -108,13 +108,30 @@ def compute_loss(
         rgb = None
         if cfg.pc_rgb and "rgb" in preds:
             rgb = jnp.repeat(preds["rgb"], V, axis=0)
-        if rgb is None:
+        if cfg.pc_gauss and "gauss_scales" in preds:
+            # BASELINE config 5: anisotropic alpha-composited splats
+            from dpcx.render.gsplat import gsplat_project
+
+            opacity = jnp.repeat(preds["gauss_opacity"], V, axis=0)
+            if pw is not None:
+                opacity = opacity * pw  # point dropout folds into opacity
+            out = gsplat_project(
+                cfg,
+                pts,
+                quats,
+                jnp.repeat(preds["gauss_scales"], V, axis=0),
+                jnp.repeat(preds["gauss_rot"], V, axis=0),
+                opacity=opacity,
+                rgb=rgb,
+            )
+            sil, depth, rgb_proj = out.silhouette, out.depth, out.rgb
+        elif rgb is None:
             sil, depth = _render_silhouettes(
                 cfg, pts, quats, sigma_rel, pw
             )
             rgb_proj = None
         else:
-            out = pointcloud_project(
+            out = pointcloud_project_fn(
                 cfg, pts, quats, sigma_rel, point_weights=pw, rgb=rgb
             )
             sil, depth, rgb_proj = out.silhouette, out.depth, out.rgb

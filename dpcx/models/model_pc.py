@@ -33,6 +33,9 @@ class ModelPointCloud(nn.Module):
             hidden=c.pc_decoder_hidden,
             predict_rgb=c.pc_rgb,
             predict_scale=c.predict_scale,
+            predict_gauss=c.pc_gauss,
+            gauss_scale_min=c.gauss_scale_min,
+            gauss_scale_max=c.gauss_scale_max,
             compute_dtype=dtype,
         )
         if c.predict_pose:
@@ -62,6 +65,9 @@ class ModelPointCloud(nn.Module):
         out["points"] = points
         if "rgb" in dec:
             out["rgb"] = dec["rgb"]
+        for k in ("gauss_scales", "gauss_rot", "gauss_opacity"):
+            if k in dec:
+                out[k] = dec[k]
         if self.cfg.predict_pose:
             pose = self.pose_head(enc["pose_inp"])
             out.update(pose)

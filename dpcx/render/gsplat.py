@@ -1,0 +1,232 @@
+"""Anisotropic Gaussian splats with RGB alpha-compositing (3DGS-style).
+
+BASELINE config 5 ("anisotropic Gaussian splats with RGB alpha-compositing,
+novel-view stretch") — no reference-code counterpart: the reference renders
+isotropic trilinear splats only (dpc/util/point_cloud.py::
+pointcloud2voxels3d_fast), so this module is the framework's novel-view
+extension, designed volumetrically so it composes with the existing DRC ray
+reduction (dpc/util/drc.py::drc_projection semantics):
+
+- each point n carries a full 3-D covariance Sigma_n = R(q_n) diag(s_n^2)
+  R(q_n)^T (s in NDC units, q a per-point local orientation) and an
+  opacity/weight w_n;
+- the density field is the sum of normalized anisotropic Gaussians,
+  accumulated on the voxel grid (no global blur pass — sigma is per point);
+- per-cell alpha = 1 - exp(-density): the exact volumetric compositing
+  transform, so running the standard DRC transmittance recurrence over the
+  alpha grid IS alpha compositing along the ray
+  (1 - prod_z (1 - alpha_z) == 1 - exp(-sum_z density_z));
+- per-cell color is the density-weighted mean of point colors; the rendered
+  color is the expectation over ray-termination events (same
+  drc_event_probabilities machinery as the isotropic RGB path).
+
+Under the camera transform the local orientation composes with the camera
+rotation (q_cam ⊗ q_n); the perspective divide's shear of the covariance is
+ignored (weak-perspective approximation — the reference camera sits at
+camera_distance ≈ 2 with |x| ≤ 0.5, so the Jacobian is near-orthogonal).
+
+TPU realization: one z-slab at a time (lax.map), each slab a
+point-chunked scan accumulating VPU-friendly [B, C, D, D] contributions —
+the y/z and x/z cross terms fold into the per-axis factors (d_z is a
+per-point scalar inside a slab), so only the y/x cross term needs a full
+[C, D, D] broadcast.
+"""
+
+from __future__ import annotations
+
+
+
+import jax
+import jax.numpy as jnp
+
+from dpcx.config import Config
+from dpcx.geometry.quaternion import (
+    quaternion_multiply,
+    quaternion_to_matrix,
+)
+from dpcx.render.drc import drc_event_probabilities, drc_projection
+from dpcx.render.transform import pc_perspective_transform
+from dpcx.render.voxelize import ndc_to_grid
+
+
+def _precision_zyx(scales_vox: jax.Array, rot: jax.Array) -> jax.Array:
+    """Per-point precision matrix A = Sigma^-1 in (z, y, x) grid axes.
+
+    scales_vox [..., 3] are standard deviations along the point's local
+    axes (voxel units); rot [..., 4] rotates local -> world (x, y, z).
+    """
+    Rm = quaternion_to_matrix(rot)  # [..., 3, 3], world <- local, xyz
+    inv_var = 1.0 / jnp.maximum(scales_vox, 1e-4) ** 2  # [..., 3]
+    # A_xyz = R diag(1/s^2) R^T
+    A = jnp.einsum("...ik,...k,...jk->...ij", Rm, inv_var, Rm)
+    # permute xyz -> zyx on both index axes
+    perm = jnp.asarray([2, 1, 0])
+    return A[..., perm, :][..., :, perm]
+
+
+def anisotropic_density_grid(
+    points_ndc: jax.Array,     # [B, N, 3]
+    scales_ndc: jax.Array,     # [B, N, 3] stddevs in NDC units
+    rot: jax.Array,            # [B, N, 4] local orientation quats
+    vox_size: int,
+    point_weights: jax.Array | None = None,  # [B, N] opacity/weights
+    rgb: jax.Array | None = None,            # [B, N, 3]
+    chunk: int = 512,
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Sum-of-anisotropic-Gaussians density on the voxel grid.
+
+    Returns density [B, D, D, D] and, with rgb, the density-weighted color
+    grid [B, D, D, D, 3]. Normalization is the full 3-D Gaussian density
+    ((2*pi)^{-3/2} / prod s), so the isotropic case with equal scales
+    reproduces pointcloud2voxels_rbf exactly (tested).
+    """
+    B, N, _ = points_ndc.shape
+    D = vox_size
+    mu = ndc_to_grid(points_ndc, D)            # [B, N, 3] (z, y, x)
+    s_vox = scales_ndc * D
+    A = _precision_zyx(s_vox, rot)             # [B, N, 3, 3]
+    norm = (2.0 * jnp.pi) ** (-1.5) / jnp.maximum(
+        jnp.prod(s_vox, axis=-1), 1e-12
+    )
+    w = norm if point_weights is None else norm * point_weights
+    cells = jnp.arange(D, dtype=points_ndc.dtype)
+
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    def padc(x, fill=0.0):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full(x.shape[:1] + (pad,) + x.shape[2:], fill,
+                         x.dtype)],
+            axis=1,
+        )
+
+    mu_c = padc(mu).reshape(B, n_chunks, chunk, 3)
+    A_c = padc(A).reshape(B, n_chunks, chunk, 3, 3)
+    w_c = padc(w).reshape(B, n_chunks, chunk)
+    rgb_c = (
+        padc(rgb).reshape(B, n_chunks, chunk, 3)
+        if rgb is not None
+        else None
+    )
+
+    def slab(z_idx):
+        z = z_idx.astype(points_ndc.dtype)
+
+        def chunk_body(carry, inp):
+            if rgb is None:
+                muk, Ak, wk = inp
+            else:
+                muk, Ak, wk, rgbk = inp
+            dz = z - muk[..., 0]                        # [B, C]
+            dy = cells - muk[..., 1][..., None]         # [B, C, D]
+            dx = cells - muk[..., 2][..., None]         # [B, C, D]
+            # assemble the FULL quadratic form before the exp: the form is
+            # PSD so exp(-quad) <= 1, whereas per-axis factors can
+            # individually overflow (exp(+big) * exp(-bigger) -> inf * 0
+            # = NaN). z-y and z-x cross terms fold into the 1-D pieces
+            # because dz is a per-point scalar within a slab.
+            q_y = (
+                0.5 * Ak[..., 1, 1, None] * dy**2
+                + (Ak[..., 0, 1] * dz)[..., None] * dy
+            )  # [B, C, D]
+            q_x = (
+                0.5 * Ak[..., 2, 2, None] * dx**2
+                + (Ak[..., 0, 2] * dz)[..., None] * dx
+            )  # [B, C, D]
+            quad = (
+                (0.5 * Ak[..., 0, 0] * dz**2)[..., None, None]
+                + q_y[..., :, None]
+                + q_x[..., None, :]
+                + Ak[..., 1, 2, None, None]
+                * dy[..., :, None]
+                * dx[..., None, :]
+            )  # [B, C, D, D]
+            contrib = wk[..., None, None] * jnp.exp(
+                -jnp.maximum(quad, 0.0)
+            )  # [B, C, D, D]
+            dens, col = carry
+            dens = dens + contrib.sum(axis=1)
+            if rgb is not None:
+                col = col + jnp.einsum("bcyx,bck->byxk", contrib, rgbk)
+            return (dens, col), None
+
+        init = (
+            jnp.zeros((B, D, D), points_ndc.dtype),
+            jnp.zeros((B, D, D, 3), points_ndc.dtype),
+        )
+        xs = (
+            (
+                jnp.moveaxis(mu_c, 1, 0),
+                jnp.moveaxis(A_c, 1, 0),
+                jnp.moveaxis(w_c, 1, 0),
+            )
+            if rgb is None
+            else (
+                jnp.moveaxis(mu_c, 1, 0),
+                jnp.moveaxis(A_c, 1, 0),
+                jnp.moveaxis(w_c, 1, 0),
+                jnp.moveaxis(rgb_c, 1, 0),
+            )
+        )
+        (dens, col), _ = jax.lax.scan(chunk_body, init, xs)
+        return dens, col
+
+    dens, col = jax.lax.map(slab, jnp.arange(D))
+    density = jnp.moveaxis(dens, 0, 1)  # [B, D, D, D]
+    if rgb is None:
+        return density
+    rgb_grid = jnp.moveaxis(col, 0, 1) / jnp.maximum(
+        density[..., None], 1e-6
+    )
+    return density, rgb_grid
+
+
+def alpha_from_density(density: jax.Array) -> jax.Array:
+    """Exact volumetric compositing transform: alpha = 1 - exp(-density)."""
+    return 1.0 - jnp.exp(-density)
+
+
+def gsplat_project(
+    cfg: Config,
+    points: jax.Array,        # [B, N, 3] world/canonical frame
+    quat: jax.Array,          # [B, 4] camera quaternion
+    scales_ndc: jax.Array,    # [B, N, 3]
+    rot: jax.Array,           # [B, N, 4] local orientations
+    opacity: jax.Array | None = None,  # [B, N]
+    rgb: jax.Array | None = None,      # [B, N, 3]
+    translation: jax.Array | None = None,
+):
+    """Render anisotropic RGB splats through the DRC compositing pipeline.
+
+    -> (silhouette [B, D, D], depth or None, rgb_proj [B, D, D, 3] or
+    None). The per-point covariance rotates with the camera
+    (q_cam ⊗ q_local); scales are invariant.
+    """
+    from dpcx.render.project import RenderOut
+
+    D = cfg.vox_size
+    ndc = pc_perspective_transform(
+        points,
+        quat,
+        focal_length=cfg.focal_length,
+        camera_distance=cfg.camera_distance,
+        translation=translation,
+    )
+    rot_cam = quaternion_multiply(quat[:, None, :], rot)
+    out = anisotropic_density_grid(
+        ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb
+    )
+    density, rgb_grid = out if rgb is not None else (out, None)
+    alpha = alpha_from_density(density)
+    sil, depth = drc_projection(
+        alpha, logsum=cfg.drc_logsum, with_depth=cfg.proj_depth
+    )
+    rgb_proj = None
+    if rgb_grid is not None:
+        p_stop, _ = drc_event_probabilities(alpha, logsum=cfg.drc_logsum)
+        rgb_proj = jnp.einsum("bzyx,bzyxc->byxc", p_stop, rgb_grid)
+    return RenderOut(
+        silhouette=sil, depth=depth, voxels=None, rgb=rgb_proj
+    )

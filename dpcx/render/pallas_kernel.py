@@ -516,10 +516,6 @@ def _fused_bwd_kernel(
     jax.lax.fori_loop(0, counts_ref[1], sample_body, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("vox", "with_depth", "acc_dtype", "interpret"),
-)
 def _pallas_backward(
     sorted_t: jax.Array,  # [B, 4, N]
     kmat: jax.Array,
@@ -585,6 +581,10 @@ def _pallas_backward(
             pltpu.VMEM((D + G, D, D), jnp.float32),
         ],
     )
+    args = jax.lax.optimization_barrier(
+        (zb, nt, jnp.asarray([n_chunks, S], jnp.int32), sorted_t, kmat,
+         kronA, kronB, d_sil, d_depth)
+    )
     d_sorted = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -593,17 +593,7 @@ def _pallas_backward(
         ),
         out_shape=jax.ShapeDtypeStruct((B, 4, N), jnp.float32),
         interpret=interpret,
-    )(
-        zb,
-        nt,
-        jnp.asarray([n_chunks, S], jnp.int32),
-        sorted_t,
-        kmat,
-        kronA,
-        kronB,
-        d_sil,
-        d_depth,
-    )
+    )(*args)
     return d_sorted
 
 
@@ -655,10 +645,6 @@ def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
     return G, C, S, Gb
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("vox", "with_depth", "acc_dtype", "interpret"),
-)
 def _pallas_forward(
     sorted_t: jax.Array,  # [B, 4, N] z-SORTED coords (z,y,x,w), pts on lanes
     kmat: jax.Array,      # [D, D]
@@ -723,6 +709,13 @@ def _pallas_forward(
             pltpu.VMEM((D + G, D, D), jnp.float32),
         ],
     )
+    # operands MUST NOT be XLA constants: a constant pallas operand costs
+    # ~0.9 ms per call through the axon runtime (counts always folds;
+    # kmat/kron fold when sigma is a literal). See NOTES.md.
+    args = jax.lax.optimization_barrier(
+        (zb, nt, jnp.asarray([n_chunks, S], jnp.int32), sorted_t, kmat,
+         kronA, kronB)
+    )
     sil, depth = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -739,15 +732,7 @@ def _pallas_forward(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        zb,
-        nt,
-        jnp.asarray([n_chunks, S], jnp.int32),
-        sorted_t,
-        kmat,
-        kronA,
-        kronB,
-    )
+    )(*args)
     return sil, depth
 
 
@@ -800,33 +785,51 @@ def _sort_with_order(coords_w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.stack([gz, gy, gx, pw], axis=1), order
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
-)
-def _fused_render(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
-    sorted_t, _ = _sort_with_order(coords_w)
-    return _pallas_forward(
-        sorted_t, kmat, vox, with_depth, acc_dtype, interpret
+def _forward_dispatch(sorted_t, kmat, vox, radius, with_depth, acc_dtype,
+                      interpret):
+    """D <= 64: whole-grid-in-VMEM kernel; D > 64: depth-blocked kernel
+    (running-transmittance carry, SURVEY.md §5) — 128^3 never
+    materializes a full D^3 buffer in VMEM."""
+    if vox <= 64:
+        return _pallas_forward(
+            sorted_t, kmat, vox, with_depth, acc_dtype, interpret
+        )
+    from dpcx.render.pallas_blocked import blocked_forward
+
+    return blocked_forward(
+        sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
     )
 
 
-def _fused_fwd(coords_w, kmat, vox, with_depth, acc_dtype, interpret):
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+)
+def _fused_render(coords_w, kmat, vox, radius, with_depth, acc_dtype,
+                  interpret):
+    sorted_t, _ = _sort_with_order(coords_w)
+    return _forward_dispatch(
+        sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
+    )
+
+
+def _fused_fwd(coords_w, kmat, vox, radius, with_depth, acc_dtype,
+               interpret):
     sorted_t, order = _sort_with_order(coords_w)
-    out = _pallas_forward(
-        sorted_t, kmat, vox, with_depth, acc_dtype, interpret
+    out = _forward_dispatch(
+        sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
     )
     return out, (sorted_t, order, kmat)
 
 
-def _fused_bwd(vox, with_depth, acc_dtype, interpret, res, cts):
-    """Backward: handwritten Pallas kernel for D <= 64 (the training
-    configs); XLA autodiff fallback otherwise. Cotangents come back in
-    sorted order and are un-sorted with one gather here (the forward pays
-    no gather at all).
+def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
+    """Backward: handwritten Pallas kernel for D <= 64 (whole grid in
+    VMEM) or the two-pass depth-blocked kernel for D > 64 — no XLA
+    fallback at any shipped shape. Cotangents come back in sorted order
+    and are un-sorted with one gather here (the forward pays no gather
+    at all).
 
     NOTE: the cotangent for kmat (i.e. for the blur sigma) is ZERO on the
     kernel path — the sigma anneal is a schedule, not a learned parameter.
-    The XLA fallback returns the true dkmat.
     """
     sorted_t, order, kmat = res
     d_sil, d_depth = cts
@@ -837,14 +840,14 @@ def _fused_bwd(vox, with_depth, acc_dtype, interpret, res, cts):
             sorted_t, kmat, d_sil, d_depth, vox, with_depth, acc_dtype,
             interpret,
         )
-        dkmat = jnp.zeros_like(kmat)
     else:
-        _, vjp = jax.vjp(
-            lambda c, k: _xla_reference(c, k, vox, with_depth),
-            sorted_t,
-            kmat,
+        from dpcx.render.pallas_blocked import blocked_backward
+
+        d_sorted = blocked_backward(
+            sorted_t, kmat, d_sil, d_depth, vox, radius, with_depth,
+            acc_dtype, interpret,
         )
-        d_sorted, dkmat = vjp((d_sil, d_depth))
+    dkmat = jnp.zeros_like(kmat)
     inv = jnp.argsort(order, axis=1)
     d_cw = jnp.take_along_axis(
         jnp.moveaxis(d_sorted, 1, 2), inv[..., None], axis=1
@@ -883,6 +886,7 @@ def pallas_project(
     coords_w = jnp.concatenate([g, pw[..., None]], axis=-1)
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
     sil, depth = _fused_render(
-        coords_w, kmat, vox_size, with_depth, acc_dtype, interpret
+        coords_w, kmat, vox_size, kernel_radius, with_depth, acc_dtype,
+        interpret,
     )
     return sil, (depth if with_depth else None)

@@ -63,11 +63,7 @@ def keep_prob_schedule(cfg: Config, step: jax.Array) -> jax.Array:
     return cfg.pc_point_dropout + (1.0 - cfg.pc_point_dropout) * frac
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "return_voxels", "splat"),
-)
-def pointcloud_project(
+def pointcloud_project_fn(
     cfg: Config,
     points: jax.Array,
     quat: jax.Array,
@@ -118,8 +114,10 @@ def pointcloud_project(
         # blur/DRC loops process z in groups of 8 slabs; non-multiples
         # would silently drop the top D % 8 slabs
         and D % 8 == 0
-        # Single fp32 D^3 grid in VMEM caps the fused kernel at D=128
-        # (8.7 MB at 128; beyond that a z-blocked variant is needed).
+        # D <= 64 keeps the whole grid in VMEM; D > 64 uses the depth-
+        # blocked kernel (pallas_blocked.py) whose VMEM footprint is one
+        # z-block + blur halo. 128 is the largest shipped config; bigger
+        # grids would need a smaller Dz selected for the VMEM budget.
         and D <= 128
     ):
         # fused TPU kernel path (stage 2-4 in one pallas_call)
@@ -171,3 +169,14 @@ def pointcloud_project(
         voxels=grid if return_voxels else None,
         rgb=rgb_proj,
     )
+
+
+# Jitted convenience wrapper for DIRECT callers (tests, scripts, eval).
+# Code that already runs inside a jit (losses, bench scan bodies) must call
+# pointcloud_project_fn instead: on this TPU runtime a NESTED jit around a
+# pallas_call executes as a separate dispatch costing ~0.9 ms per call
+# (see NOTES.md "nested-jit pallas dispatch").
+pointcloud_project = jax.jit(
+    pointcloud_project_fn,
+    static_argnames=("cfg", "return_voxels", "splat"),
+)

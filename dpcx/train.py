@@ -137,6 +137,98 @@ def train_steps_scan(
     return state, jax.tree.map(lambda x: x[-1], ms)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "mesh"),
+    donate_argnames=("state",),
+)
+def train_steps_scan_dp(
+    cfg: Config,
+    state: TrainState,
+    records: dict[str, jax.Array],
+    key: jax.Array,
+    n_steps: int,
+    mesh,
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """Device-resident training under DATA PARALLELISM: the lax.scan loop
+    of train_steps_scan, run per-device under shard_map with a gradient
+    pmean over the ICI data axis (SURVEY.md §2.3).
+
+    Semantics match single-device training EXACTLY (up to fp reduction
+    order): every device samples the SAME global batch indices from the
+    shared key and takes its own slice, so pmean of per-slice gradients
+    equals the full-batch gradient. Records and params are replicated;
+    only the per-step batch gather is device-local. Point-dropout draws
+    are decorrelated per device (key folded with the axis index), so
+    exact parity with single-device holds when dropout is off.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.devices.size
+    B = cfg.batch_size
+    assert B % ndev == 0, (B, ndev)
+    B_local = B // ndev
+    M, V = records["images"].shape[:2]
+    V_use = min(cfg.views_per_step, V)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def run(state, records, key):
+        di = jax.lax.axis_index("data")
+
+        def body(carry, _):
+            state, key = carry
+            key, k_m, k_vin, k_tgt, k_drop = jax.random.split(key, 5)
+            # full-batch indices from the shared key; slice per device
+            m = jax.random.randint(k_m, (B,), 0, M)
+            v_in = jax.random.randint(k_vin, (B,), 0, V)
+            perm = jnp.argsort(
+                jax.random.uniform(k_tgt, (B, V)), axis=1
+            )[:, :V_use]
+            sl = di * B_local
+            m = jax.lax.dynamic_slice_in_dim(m, sl, B_local)
+            v_in = jax.lax.dynamic_slice_in_dim(v_in, sl, B_local)
+            perm = jax.lax.dynamic_slice_in_dim(perm, sl, B_local)
+            k_drop = jax.random.fold_in(k_drop, di)
+            batch = {
+                "image": records["images"][m, v_in],
+                "masks": records["masks"][m[:, None], perm],
+                "depths": records["depths"][m[:, None], perm],
+                "quats": records["quats"][m[:, None], perm],
+            }
+            if cfg.predict_pose:
+                batch["quat_in"] = records["quats"][m, v_in]
+            if cfg.pc_rgb:
+                batch["images_tgt"] = records["images"][m[:, None], perm]
+
+            def loss_fn(params):
+                preds = state.apply_fn(params, batch["image"])
+                return compute_loss(
+                    cfg, preds, batch, state.step, k_drop, train=True
+                )
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            # the DP all-reduce over ICI (SURVEY.md §2.3)
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            new_state = state.apply_gradients(grads=grads)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (new_state, key), metrics
+
+        (state, _), ms = jax.lax.scan(
+            body, (state, key), None, length=n_steps
+        )
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return run(state, records, key)
+
+
 def _device_records(dataset: Dataset) -> dict[str, jax.Array]:
     keep = ("images", "masks", "depths", "quats")
     return {
@@ -249,7 +341,9 @@ def train(
 
     # host-boundary cadence: the device-resident fast path advances
     # `chunk` steps per host interaction (log/save/eval granularity)
-    use_device_data = cfg.device_data and mesh.devices.size == 1
+    use_device_data = cfg.device_data and (
+        cfg.batch_size % mesh.devices.size == 0
+    )
     chunk = max(
         1,
         min(
@@ -273,9 +367,14 @@ def train(
             if use_device_data:
                 n = min(chunk, max_steps - step)
                 data_key = jax.random.fold_in(data_key, step)
-                state, metrics = train_steps_scan(
-                    cfg, state, dev_records, data_key, n
-                )
+                if mesh.devices.size > 1:
+                    state, metrics = train_steps_scan_dp(
+                        cfg, state, dev_records, data_key, n, mesh
+                    )
+                else:
+                    state, metrics = train_steps_scan(
+                        cfg, state, dev_records, data_key, n
+                    )
                 step += n
                 batch = None
             else:
@@ -358,4 +457,6 @@ def _prep_batch(batch: dict, cfg: Config) -> dict:
         out["quat_in"] = jnp.asarray(
             batch.get("quat_in", batch["quats"][:, 0]), jnp.float32
         )
+    if cfg.pc_rgb and "images_tgt" in batch:
+        out["images_tgt"] = jnp.asarray(batch["images_tgt"], jnp.float32)
     return out

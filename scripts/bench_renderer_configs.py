@@ -1,6 +1,6 @@
 import jax, jax.numpy as jnp, time
 from dpcx.config import Config
-from dpcx.render.project import pointcloud_project
+from dpcx.render.project import pointcloud_project_fn as pointcloud_project
 
 ITERS = 60
 def scan_bench(cfg, B, N):

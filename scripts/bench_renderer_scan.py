@@ -1,7 +1,7 @@
 import jax, jax.numpy as jnp, time
 from functools import partial
 from dpcx.config import Config
-from dpcx.render.project import pointcloud_project
+from dpcx.render.project import pointcloud_project_fn as pointcloud_project
 
 D, N, B = 64, 8192, 16
 pts = jax.random.uniform(jax.random.PRNGKey(0), (B, N, 3), minval=-0.4, maxval=0.4)

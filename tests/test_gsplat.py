@@ -1,0 +1,139 @@
+"""Anisotropic RGB alpha-compositing splats (BASELINE config 5,
+dpcx/render/gsplat.py). No reference counterpart — oracle checks are
+against the isotropic RBF voxelizer (identical math when scales are equal)
+plus structural properties of the anisotropy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpcx.config import Config
+from dpcx.render.gsplat import (
+    alpha_from_density,
+    anisotropic_density_grid,
+    gsplat_project,
+)
+from dpcx.render.voxelize import pointcloud2voxels_rbf
+
+D = 16
+
+
+def _pts(key, b=2, n=64, lim=0.35):
+    return jax.random.uniform(key, (b, n, 3), minval=-lim, maxval=lim)
+
+
+def test_isotropic_matches_rbf_voxelizer():
+    """Equal scales + any rotation == the isotropic RBF oracle
+    (dpc/util/point_cloud.py::pointcloud2voxels3d semantics)."""
+    pts = _pts(jax.random.PRNGKey(0))
+    sigma_ndc = 0.06
+    rot = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 4))
+    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    scales = jnp.full((2, 64, 3), sigma_ndc)
+    dens = anisotropic_density_grid(pts, scales, rot, D)
+    # rbf normalizes per axis with 1/(sqrt(2 pi) s); the product over the
+    # three axes equals the 3-D Gaussian normalization used by gsplat
+    want = pointcloud2voxels_rbf(pts, D, jnp.asarray(sigma_ndc * D))
+    np.testing.assert_allclose(
+        np.asarray(dens), np.asarray(want), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_anisotropy_elongates_named_axis():
+    """A single splat stretched along x must have larger x-variance than
+    y/z-variance on the grid."""
+    pts = jnp.zeros((1, 1, 3))
+    scales = jnp.asarray([[[0.01, 0.01, 0.08]]])  # local z... see below
+    # identity rotation: local axes == world (x, y, z); scales are per
+    # LOCAL axis in xyz order
+    rot = jnp.asarray([[[1.0, 0, 0, 0]]])
+    scales_xyz = jnp.asarray([[[0.08, 0.01, 0.01]]])  # long along x
+    dens = anisotropic_density_grid(pts, scales_xyz, rot, D)[0]
+    cells = jnp.arange(D) - (D - 1) / 2
+    m = dens / dens.sum()
+    var_z = jnp.sum(m.sum(axis=(1, 2)) * cells**2)
+    var_y = jnp.sum(m.sum(axis=(0, 2)) * cells**2)
+    var_x = jnp.sum(m.sum(axis=(0, 1)) * cells**2)
+    assert float(var_x) > 4 * float(var_y)
+    assert float(var_x) > 4 * float(var_z)
+
+
+def test_rotation_moves_anisotropy():
+    """Rotating the long axis by 90 deg about z swaps x/y variance."""
+    pts = jnp.zeros((1, 1, 3))
+    scales = jnp.asarray([[[0.08, 0.01, 0.01]]])  # long along local x
+    rot90 = jnp.asarray(
+        [[[jnp.cos(jnp.pi / 4), 0.0, 0.0, jnp.sin(jnp.pi / 4)]]]
+    )  # 90 deg about z: local x -> world y
+    dens = anisotropic_density_grid(pts, scales, rot90, D)[0]
+    cells = jnp.arange(D) - (D - 1) / 2
+    m = dens / dens.sum()
+    var_y = jnp.sum(m.sum(axis=(0, 2)) * cells**2)
+    var_x = jnp.sum(m.sum(axis=(0, 1)) * cells**2)
+    assert float(var_y) > 4 * float(var_x)
+
+
+def test_alpha_compositing_is_volumetric():
+    """1 - prod(1 - alpha_z) along a ray == 1 - exp(-sum density_z)."""
+    dens = jnp.abs(_pts(jax.random.PRNGKey(3), 1, 4)[0, :, 0]).reshape(
+        1, 4, 1, 1
+    )
+    alpha = alpha_from_density(dens)
+    lhs = 1.0 - jnp.prod(1.0 - alpha, axis=1)
+    rhs = 1.0 - jnp.exp(-dens.sum(axis=1))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-6)
+
+
+def test_gsplat_project_shapes_rgb_and_grads():
+    cfg = Config(vox_size=D, proj_depth=True, pc_gauss=True, pc_rgb=True)
+    B, N = 2, 32
+    pts = _pts(jax.random.PRNGKey(4), B, N)
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+    scales = jnp.full((B, N, 3), 0.03)
+    rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, N, 1))
+    opacity = jnp.full((B, N), 0.8)
+    rgb = jax.random.uniform(jax.random.PRNGKey(5), (B, N, 3))
+    out = gsplat_project(cfg, pts, quat, scales, rot, opacity, rgb)
+    assert out.silhouette.shape == (B, D, D)
+    assert out.depth.shape == (B, D, D)
+    assert out.rgb.shape == (B, D, D, 3)
+    assert float(out.silhouette.max()) <= 1.0 + 1e-5
+
+    tgt = jax.random.uniform(jax.random.PRNGKey(6), (B, D, D))
+
+    def loss(p, s, r):
+        o = gsplat_project(cfg, p, quat, s, rot, opacity, r)
+        return jnp.mean((o.silhouette - tgt) ** 2) + jnp.mean(o.rgb**2)
+
+    gp, gs, gr = jax.grad(loss, argnums=(0, 1, 2))(pts, scales, rgb)
+    for g in (gp, gs, gr):
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_gsplat_train_step_learns():
+    """End-to-end: the pc_gauss+rgb model trains and the loss decreases
+    (config 5 trains, VERDICT round-1 item 6)."""
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.train import _prep_batch, create_state, train_step
+
+    cfg = Config(
+        vox_size=12, mask_size=12, pc_num_points=128, image_size=32,
+        encoder_filters=(8, 16), latent_dim=64, fc_hidden=64,
+        pc_decoder_hidden=(64,), views_per_step=2, num_views=3,
+        batch_size=4, learning_rate=3e-3, pc_point_dropout=1.0,
+        pc_rgb=True, pc_gauss=True, rgb_weight=0.3,
+    )
+    ds = Dataset(make_dataset(cfg, 3, seed=0, gt_points=256), cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(25):
+        batch = _prep_batch(ds.batch(rng, cfg.batch_size), cfg)
+        state, metrics = train_step(cfg, state, batch, key)
+        losses.append(float(metrics["loss_total"]))
+        assert "loss_rgb" in metrics
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.95, losses

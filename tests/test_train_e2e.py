@@ -105,6 +105,66 @@ def test_periodic_eval_during_train(tmp_path):
     assert any("val_chamfer" in h for h in hist)
 
 
+def test_dp_scan_matches_single_device_scan():
+    """Device-resident scan under an 8-device DP mesh == single-device
+    scan, step for step (VERDICT round-1 item 3): every device samples
+    the same global batch and takes a slice, so the pmean'd gradient is
+    the full-batch gradient."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    from dpcx.data.synthetic import make_dataset as _mk
+    from dpcx.train import (
+        _device_records,
+        train_steps_scan,
+        train_steps_scan_dp,
+    )
+
+    cfg = TINY  # pc_point_dropout=1.0: dropout off, exact parity holds
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    recs = _device_records(ds)
+    key = jax.random.PRNGKey(3)
+
+    s1 = create_state(cfg, jax.random.PRNGKey(0))
+    s1, m1 = train_steps_scan(cfg, s1, recs, key, 4)
+
+    mesh = make_mesh(cfg)
+    assert mesh.devices.size >= 2
+    s2 = create_state(cfg, jax.random.PRNGKey(0))
+    s2, m2 = train_steps_scan_dp(cfg, s2, recs, key, 4, mesh)
+
+    np.testing.assert_allclose(
+        float(m1["loss_total"]), float(m2["loss_total"]), rtol=2e-4
+    )
+    # params track the single-device trajectory (pmean reduction order
+    # differs from the full-batch sum, and Adam's g/sqrt(v) amplifies
+    # that noise early — so tolerance is loose but catches real bugs)
+    p1 = jax.tree.leaves(s1.params)
+    p2 = jax.tree.leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_device_resident_dp_loop_learns(tmp_path):
+    """train() end-to-end on the DP mesh with device_data=True takes the
+    scan_dp path and the loss decreases."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        batch_size=8, device_data=True, log_every=5,
+        checkpoint_dir=str(tmp_path),
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=512), cfg)
+    mesh = make_mesh(cfg)
+    _, hist = train(
+        cfg, dataset=ds, max_steps=30, mesh=mesh, use_checkpoints=False
+    )
+    losses = [h["loss_total"] for h in hist if "loss_total" in h]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0] * 0.9
+
+
 def test_device_resident_loop_learns(tmp_path):
     """train_steps_scan path (single-device mesh): loss decreases."""
     from dpcx.parallel.mesh import make_mesh
