@@ -92,6 +92,18 @@ def cmd_bench(args) -> None:
     bench.main()
 
 
+def cmd_convert(args) -> None:
+    """Reference tfrecords -> npz shards (dpcx/data/convert.py)."""
+    from dpcx.data.convert import convert_tfrecords
+
+    stats = convert_tfrecords(
+        args.inp, args.out,
+        mask_size=args.mask_size or None,
+        limit=args.num_models or None,
+    )
+    print(json.dumps(stats))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="dpcx")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -101,12 +113,17 @@ def main(argv=None) -> None:
         ("predict", cmd_predict),
         ("datagen", cmd_datagen),
         ("bench", cmd_bench),
+        ("convert", cmd_convert),
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-f", "--config", default=None)
         sp.add_argument("-n", "--num-models", type=int, default=200)
         sp.add_argument("--steps", type=int, default=0)
         sp.add_argument("-o", "--out", default="predictions.npz")
+        if name == "convert":
+            sp.add_argument("-i", "--inp", required=True,
+                            help="tfrecord glob pattern")
+            sp.add_argument("--mask-size", type=int, default=0)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

@@ -93,8 +93,14 @@ _CATEGORY_FNS = {"chair": _chair_boxes, "car": _car_boxes,
 CATEGORIES = tuple(_CATEGORY_FNS)
 
 
-def _sample_box_surface(key: jax.Array, boxes: jax.Array, n: int) -> jax.Array:
-    """Sample n points on the union of box surfaces, area-weighted."""
+def _sample_box_surface(
+    key: jax.Array, boxes: jax.Array, n: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample n points on the union of box surfaces, area-weighted.
+
+    Returns (points [n, 3], box_idx [n], normals [n, 3]) — box ids and
+    outward face normals feed the textured/shaded RGB render (the
+    Blender-renders stand-in needs more than silhouette shading)."""
     kb, kf, ku = jax.random.split(key, 3)
     half = boxes[:, 3:]  # [K, 3]
     # face areas per box: 2*(hy*hz), 2*(hx*hz), 2*(hx*hy) pairs -> [K, 6]
@@ -112,6 +118,7 @@ def _sample_box_surface(key: jax.Array, boxes: jax.Array, n: int) -> jax.Array:
     sign = jnp.where(face_idx % 2 == 0, 1.0, -1.0)
     # build local offset: fixed coord = sign*h[axis], others = uv*h
     offs = jnp.zeros((n, 3))
+    normals = jnp.zeros((n, 3))
     for a in range(3):
         others = [b for b in range(3) if b != a]
         local = jnp.zeros((n, 3))
@@ -119,21 +126,29 @@ def _sample_box_surface(key: jax.Array, boxes: jax.Array, n: int) -> jax.Array:
         local = local.at[:, others[0]].set(uv[:, 0] * h[:, others[0]])
         local = local.at[:, others[1]].set(uv[:, 1] * h[:, others[1]])
         offs = jnp.where((axis == a)[:, None], local, offs)
-    return c + offs
+        nrm = jnp.zeros((n, 3)).at[:, a].set(sign)
+        normals = jnp.where((axis == a)[:, None], nrm, normals)
+    return c + offs, box_idx, normals
 
 
 @partial(jax.jit, static_argnames=("category", "n"))
-def sample_category_points(
+def sample_category_surface(
     key: jax.Array, category: str, n: int = 16000
-) -> jax.Array:
-    """One model: random jitter + surface-sample -> GT dense cloud [n, 3].
-
-    This is the analogue of the reference's densified GT eval clouds.
-    """
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One model: random jitter + surface-sample -> (points [n, 3],
+    box ids [n], outward normals [n, 3])."""
     kj, ks = jax.random.split(key)
     u = jax.random.uniform(kj, (8,))
     boxes = _CATEGORY_FNS[category](u)
     return _sample_box_surface(ks, boxes, n)
+
+
+def sample_category_points(
+    key: jax.Array, category: str, n: int = 16000
+) -> jax.Array:
+    """GT dense cloud [n, 3] — the analogue of the reference's densified
+    GT eval clouds."""
+    return sample_category_surface(key, category, n)[0]
 
 
 def _render_gt_views(
@@ -161,23 +176,61 @@ def make_model(
 ) -> dict:
     """One dataset record: V views of one randomized model.
 
-    Returns dict with images [V, H, W, 3] (depth-shaded renders), masks
+    Returns dict with images [V, H, W, 3] — TEXTURED, lambertian-shaded
+    RGB renders (per-part albedo + procedural stripes + view-dependent
+    lighting over a white background — the stand-in for the reference's
+    Blender RGB renders, not mere silhouette shading) — plus masks
     [V, D, D], depths [V, D, D], quats [V, 4], gt_points [gt_points, 3].
     """
-    kp, kv = jax.random.split(key)
-    points = sample_category_points(kp, category, gt_points)
+    kp, kv, kc, kt = jax.random.split(key, 4)
+    points, box_idx, normals = sample_category_surface(
+        kp, category, gt_points
+    )
     ka, ke = jax.random.split(kv)
     V = cfg.num_views
     azim = jax.random.uniform(ka, (V,), minval=0.0, maxval=2 * jnp.pi)
     elev = jax.random.uniform(ke, (V,), minval=0.1, maxval=0.6)
     quats, _ = camera_from_view_angles(azim, elev, cfg.camera_distance)
     masks, depths = _render_gt_views(cfg, points, quats)
-    # input image: depth-shaded silhouette, resized to image_size, 3 channels
-    shade = masks * (1.25 - (depths + 0.5))  # nearer -> brighter
-    img = jax.image.resize(
-        shade, (V, cfg.image_size, cfg.image_size), method="bilinear"
+
+    # --- textured RGB appearance ---
+    palette = jax.random.uniform(kc, (8, 3), minval=0.15, maxval=0.95)
+    stripe_dir = jax.random.normal(kt, (3,))
+    stripes = 0.85 + 0.15 * jnp.sin(
+        40.0 * points @ (stripe_dir / jnp.linalg.norm(stripe_dir))
     )
-    images = jnp.clip(img, 0.0, 1.0)[..., None] * jnp.ones((3,))
+    albedo = palette[box_idx % 8] * stripes[:, None]  # [N, 3]
+    # per-view lambertian shading: headlight-ish lamp fixed in CAMERA
+    # space, rotated into the world frame per view
+    from dpcx.geometry.quaternion import (
+        quaternion_conjugate,
+        quaternion_rotate,
+    )
+
+    light_cam = jnp.asarray([0.35, 0.5, 0.79])
+    light_world = quaternion_rotate(
+        jnp.tile(light_cam, (V, 1, 1)), quaternion_conjugate(quats)
+    )  # [V, 1, 3]
+    lambert = jnp.abs(
+        jnp.einsum("nc,vkc->vn", normals, light_world)
+    )  # two-sided
+    shade = 0.35 + 0.65 * lambert  # [V, N]
+    colors = albedo[None] * shade[..., None]  # [V, N, 3]
+
+    # render expected color through the DRC rgb path + white background
+    rgb_cfg = cfg.replace(proj_depth=False, proj_type="drc")
+    pts_v = jnp.tile(points[None], (V, 1, 1))
+    out = pointcloud_project(
+        rgb_cfg, pts_v, quats, jnp.asarray(1.0 / cfg.vox_size), rgb=colors
+    )
+    img = out.rgb + (1.0 - out.silhouette[..., None])  # white bg
+    images = jnp.clip(
+        jax.image.resize(
+            img, (V, cfg.image_size, cfg.image_size, 3), method="bilinear"
+        ),
+        0.0,
+        1.0,
+    )
     return {
         "images": images,
         "masks": masks,

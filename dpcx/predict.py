@@ -95,18 +95,39 @@ def evaluate(
     cfg: Config,
     params,
     dataset: Dataset,
-    view_idx: int = 0,
+    view_idx: int | None = 0,
     batch_size: int = 16,
 ) -> dict[str, float]:
-    """Chamfer (+ pose) eval over a dataset (ref: predict_eval protocol)."""
-    preds = predict_dataset(cfg, params, dataset, view_idx, batch_size)
-    gt = jnp.asarray(dataset.records["gt_points"], jnp.float32)
+    """Chamfer (+ pose) eval over a dataset (ref: predict_eval protocol).
+
+    ``view_idx=None`` sweeps EVERY view per model and pools the
+    predictions before computing metrics — the reference's
+    predict_eval.py evaluates each test view, not just the first
+    (SURVEY.md §3.2); a single-view eval is a weaker statistic.
+    """
+    if view_idx is None:
+        all_pred, all_gtq, all_gt = [], [], []
+        for v in range(dataset.num_views):
+            p = predict_dataset(cfg, params, dataset, v, batch_size)
+            all_pred.append(p)
+            all_gtq.append(dataset.records["quats"][:, v])
+            all_gt.append(dataset.records["gt_points"])
+        preds = {
+            k: np.concatenate([p[k] for p in all_pred])
+            for k in all_pred[0]
+        }
+        gt = jnp.asarray(np.concatenate(all_gt), jnp.float32)
+        gt_quats_all = jnp.asarray(np.concatenate(all_gtq), jnp.float32)
+    else:
+        preds = predict_dataset(cfg, params, dataset, view_idx, batch_size)
+        gt = jnp.asarray(dataset.records["gt_points"], jnp.float32)
+        gt_quats_all = jnp.asarray(
+            dataset.records["quats"][:, view_idx], jnp.float32
+        )
     pred_pts = jnp.asarray(preds["points"], jnp.float32)
     metrics: dict[str, float] = {}
     if "pose" in preds:
-        gt_quats = jnp.asarray(
-            dataset.records["quats"][:, view_idx], jnp.float32
-        )
+        gt_quats = gt_quats_all
         pred_quats = jnp.asarray(preds["pose"], jnp.float32)
         # Unsupervised pose is defined up to a global canonical rotation
         # (SURVEY.md §3.2): estimate it from the pose pairs, then rotate

@@ -1,0 +1,161 @@
+"""tfrecord -> npz converter (dpcx/data/convert.py): round-trip fixtures
+in the two plausible reference layouts (SURVEY.md §2.2 #16 [M] — the mount
+was empty, so the converter is tolerant to naming/encoding variants and
+these tests pin that tolerance)."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from dpcx.config import Config  # noqa: E402
+from dpcx.data.convert import convert_tfrecords  # noqa: E402
+from dpcx.data.dataset import load_external  # noqa: E402
+
+V, H, DM = 3, 16, 8
+
+
+def _floats(x):
+    return tf.train.Feature(
+        float_list=tf.train.FloatList(value=np.asarray(x, np.float32).ravel())
+    )
+
+
+def _ints(x):
+    return tf.train.Feature(
+        int64_list=tf.train.Int64List(value=np.asarray(x).ravel())
+    )
+
+
+def _bytes(vals):
+    if not isinstance(vals, list):
+        vals = [vals]
+    return tf.train.Feature(bytes_list=tf.train.BytesList(value=vals))
+
+
+def _write(path, examples):
+    with tf.io.TFRecordWriter(str(path)) as w:
+        for ex in examples:
+            w.write(ex.SerializeToString())
+
+
+def _rand_views(rng):
+    img = rng.random((V, H, H, 3)).astype(np.float32)
+    mask = (rng.random((V, DM, DM)) > 0.5).astype(np.float32)
+    depth = rng.random((V, DM, DM)).astype(np.float32)
+    q = rng.normal(size=(V, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return img, mask, depth, q
+
+
+def test_convert_float_features_roundtrip(tmp_path):
+    """Layout A: flat float_list features + quaternion cameras."""
+    rng = np.random.default_rng(0)
+    exs = []
+    wants = []
+    for _ in range(2):
+        img, mask, depth, q = _rand_views(rng)
+        gt = rng.random((50, 3)).astype(np.float32)
+        wants.append((img, mask, depth, q, gt))
+        exs.append(
+            tf.train.Example(
+                features=tf.train.Features(
+                    feature={
+                        "image": _floats(img),
+                        "mask": _floats(mask),
+                        "depth": _floats(depth),
+                        "quaternion": _floats(q),
+                        "gt_points": _floats(gt),
+                        "num_views": _ints([V]),
+                    }
+                )
+            )
+        )
+    _write(tmp_path / "a.tfrecord", exs)
+    stats = convert_tfrecords(
+        tmp_path / "a.tfrecord", tmp_path / "a.npz"
+    )
+    assert stats["models"] == 2 and stats["views"] == V
+
+    cfg = Config(vox_size=DM, mask_size=DM, image_size=H, num_views=V)
+    ds = load_external(tmp_path / "a.npz", cfg)
+    assert ds.records["images"].shape == (2, V, H, H, 3)
+    assert ds.records["masks"].shape == (2, V, DM, DM)
+    np.testing.assert_allclose(ds.records["images"][0], wants[0][0])
+    np.testing.assert_allclose(ds.records["quats"][1], wants[1][3])
+    np.testing.assert_allclose(
+        ds.records["gt_points"][0][:50], wants[0][4]
+    )
+    # a training batch samples cleanly from the converted data
+    b = ds.batch(np.random.default_rng(0), 2)
+    assert b["image"].shape == (2, H, H, 3)
+
+
+def test_convert_png_and_matrix_cameras(tmp_path):
+    """Layout B: PNG-encoded views, alternative names, 4x4 extrinsics ->
+    quats via matrix_to_quaternion, mask resized to the grid size."""
+    from dpcx.geometry.quaternion import (
+        quaternion_normalize,
+        quaternion_to_matrix,
+    )
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((V, H, H, 3)) * 255).astype(np.uint8)
+    mask8 = (rng.random((V, H, H)) > 0.5).astype(np.uint8) * 255
+    q = np.asarray(
+        quaternion_normalize(rng.normal(size=(V, 4)).astype(np.float32))
+    )
+    m44 = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    m44[:, :3, :3] = np.asarray(quaternion_to_matrix(q))
+    pngs = [tf.io.encode_png(img[v]).numpy() for v in range(V)]
+    mask_pngs = [
+        tf.io.encode_png(mask8[v][..., None]).numpy() for v in range(V)
+    ]
+    ex = tf.train.Example(
+        features=tf.train.Features(
+            feature={
+                "rgb": _bytes(pngs),
+                "silhouette": _bytes(mask_pngs),
+                "extrinsics": _floats(m44),
+                "num_views": _ints([V]),
+            }
+        )
+    )
+    _write(tmp_path / "b.tfrecord", [ex])
+    stats = convert_tfrecords(
+        tmp_path / "b.tfrecord", tmp_path / "b.npz", mask_size=DM
+    )
+    assert stats["models"] == 1 and stats["mask_size"] == DM
+
+    cfg = Config(vox_size=DM, mask_size=DM, image_size=H, num_views=V)
+    ds = load_external(tmp_path / "b.npz", cfg)
+    assert ds.records["images"].shape == (1, V, H, H, 3)
+    assert ds.records["masks"].shape == (1, V, DM, DM)
+    np.testing.assert_allclose(
+        ds.records["images"][0], img.astype(np.float32) / 255.0
+    )
+    # matrix -> quaternion recovery (up to sign)
+    got = ds.records["quats"][0]
+    dots = np.abs(np.sum(got * q, axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+
+def test_all_view_evaluate():
+    """evaluate(view_idx=None) sweeps every view (reference predict_eval
+    protocol) and pools num_models * num_views predictions."""
+    import jax
+
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.predict import evaluate
+    from dpcx.train import create_state
+
+    cfg = Config(
+        vox_size=12, mask_size=12, pc_num_points=64, image_size=32,
+        encoder_filters=(8,), latent_dim=32, fc_hidden=32,
+        pc_decoder_hidden=(32,), num_views=2,
+    )
+    ds = Dataset(make_dataset(cfg, 2, seed=0, gt_points=128), cfg)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    m = evaluate(cfg, st.params, ds, view_idx=None, batch_size=2)
+    assert np.isfinite(m["chamfer"])
