@@ -30,7 +30,15 @@ from dpcx.render.project import pointcloud_project
 
 
 def _chair_boxes(u: jax.Array) -> jax.Array:
-    """u: [8] uniform(0,1) jitter -> [6, 6] boxes (4 legs, seat, back)."""
+    """u: [8] uniform(0,1) jitter -> [7, 6] boxes (4 legs, seat, back,
+    one-sided armrest).
+
+    The armrest sits on ONE side only: a perfectly mirror-symmetric shape
+    makes azimuth unidentifiable from silhouettes (the unsupervised-pose
+    loss admits a reflected solution with identical renders — measured in
+    round 2), so every category carries a symmetry-breaking feature, as
+    real ShapeNet models do.
+    """
     seat_h = 0.04 + 0.02 * u[0]
     seat_w = 0.26 + 0.10 * u[1]
     seat_d = 0.24 + 0.08 * u[2]
@@ -48,7 +56,10 @@ def _chair_boxes(u: jax.Array) -> jax.Array:
     seat = [0.0, seat_y, 0.0, seat_w, seat_h, seat_d]
     back = [0.0, seat_y + seat_h + back_h, -(seat_d - back_t),
             seat_w, back_h, back_t]
-    return jnp.asarray(legs + [seat, back])
+    arm_h = 0.06 + 0.04 * u[7]
+    arm = [seat_w - leg_t, seat_y + seat_h + arm_h, 0.0,
+           leg_t, arm_h, seat_d * 0.7]
+    return jnp.asarray(legs + [seat, back, arm])
 
 
 def _car_boxes(u: jax.Array) -> jax.Array:
@@ -68,7 +79,10 @@ def _car_boxes(u: jax.Array) -> jax.Array:
         for sx in (-1, 1)
         for sz in (-1, 1)
     ]
-    return jnp.asarray([body, cabin] + wheels)
+    # one-sided mirror stalk: symmetry breaker (see _chair_boxes)
+    mirror = [body_w + 0.02, body_y + body_h + cab_h * 0.8, cab_l * 0.45,
+              0.02, 0.02 + 0.01 * u[6], 0.015]
+    return jnp.asarray([body, cabin] + wheels + [mirror])
 
 
 def _airplane_boxes(u: jax.Array) -> jax.Array:
@@ -83,9 +97,12 @@ def _airplane_boxes(u: jax.Array) -> jax.Array:
               wing_c * 0.6]
     tail_v = [0.0, fus_r + 0.06, -(fus_l - wing_c * 0.5), fus_r * 0.3, 0.06,
               wing_c * 0.6]
-    # pad to 6 boxes so every category has static shape [6, 6]
+    # one-sided wing pod: symmetry breaker (see _chair_boxes)
+    pod = [wing_span * 0.55, -fus_r * 0.6, 0.05 * fus_l,
+           0.03 + 0.01 * u[5], 0.03, 0.06]
+    # pad to 7 boxes so every category has static shape [7, 6]
     pad = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    return jnp.asarray([fuselage, wings, tail_h, tail_v, pad, pad])
+    return jnp.asarray([fuselage, wings, tail_h, tail_v, pod, pad, pad])
 
 
 _CATEGORY_FNS = {"chair": _chair_boxes, "car": _car_boxes,

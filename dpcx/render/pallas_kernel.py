@@ -597,17 +597,25 @@ def _pallas_backward(
     return d_sorted
 
 
+def _chunk_size(num_points: int) -> int:
+    """Points per chunk: a multiple of 128 (chunk slices start at c*C in
+    the LANE dim — Mosaic needs provably 128-aligned dynamic offsets), as
+    large as 512. The caller pads N to a multiple of this."""
+    return min(512, 128 * (-(-num_points // 128)))
+
+
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
     """(z_group, n_chunk): G*D ~ 512 lanes per window, C sized so a sorted
     chunk's typical z-span fits in about one window."""
     g = max(1, min(vox, 512 // vox))
     while vox % g:
         g -= 1
-    # smaller chunks at large D keep the [G*D, C] trip temporaries small
-    # enough for VMEM (D=128 sits ~1 MB from the scoped limit)
-    c = min(num_points, 512)
-    while num_points % c:
-        c -= 1
+    c = _chunk_size(num_points)
+    if num_points % c:
+        raise ValueError(
+            f"N={num_points} must be a multiple of C={c} (pallas_project "
+            "pads before calling)"
+        )
     return g, c
 
 
@@ -884,6 +892,16 @@ def pallas_project(
         else point_weights
     )
     coords_w = jnp.concatenate([g, pw[..., None]], axis=-1)
+    # pad N to a multiple of the chunk size (Mosaic lane alignment) with
+    # zero-weight points far past the grid top: they sort to the end,
+    # their hat weights at every valid cell are zero, and the padding sits
+    # OUTSIDE the custom VJP so cotangents slice back automatically
+    c = _chunk_size(N)
+    Np = -(-N // c) * c
+    if Np != N:
+        pad = jnp.zeros((B, Np - N, 4), coords_w.dtype)
+        pad = pad.at[:, :, 0].set(4.0 * vox_size)
+        coords_w = jnp.concatenate([coords_w, pad], axis=1)
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
     sil, depth = _fused_render(
         coords_w, kmat, vox_size, kernel_radius, with_depth, acc_dtype,

@@ -136,9 +136,16 @@ def pointcloud_project_fn(
 
     rgb_grid = None
     if rgb is not None:
-        grid, rgb_grid = pointcloud2voxels_scatter(
-            ndc, D, point_weights=point_weights, rgb=rgb.astype(dtype)
-        )
+        # rgb rides the MXU matmul splat on TPU (the scatter path runs at
+        # ~13 Mpts/s there) and the scatter oracle elsewhere
+        if splat == "matmul" or cfg.renderer == "pallas":
+            grid, rgb_grid = pointcloud2voxels_matmul(
+                ndc, D, point_weights=point_weights, rgb=rgb.astype(dtype)
+            )
+        else:
+            grid, rgb_grid = pointcloud2voxels_scatter(
+                ndc, D, point_weights=point_weights, rgb=rgb.astype(dtype)
+            )
     elif splat == "matmul" or cfg.renderer == "pallas":
         # (pallas configs that fell through, e.g. 128^3, keep the MXU
         # formulation rather than the scatter oracle)

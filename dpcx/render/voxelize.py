@@ -171,13 +171,19 @@ def pointcloud2voxels_matmul(
     points_ndc: jax.Array,
     vox_size: int,
     point_weights: jax.Array | None = None,
-) -> jax.Array:
+    rgb: jax.Array | None = None,
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """MXU splat: per-z-slab rank-reduction matmuls, no scatter.
 
     grid[b, z] = (Wz[b, :, z] * Wy[b])^T @ Wx[b]    for each z slab.
 
     FLOPs ~= 2 * D * N * D^2 per sample — dense work, but it is all MXU
     matmul at near-peak utilization, which beats scatter on TPU.
+
+    With ``rgb`` [B, N, 3], also returns the weight-normalized color grid
+    [B, D, D, D, 3] (same semantics as pointcloud2voxels_scatter's rgb
+    path, but 3 extra per-slab matmuls instead of scatter-adds — the TPU
+    path for RGB training).
     """
     D = vox_size
     g = ndc_to_grid(points_ndc, D)  # [B, N, 3] (z, y, x)
@@ -194,9 +200,25 @@ def pointcloud2voxels_matmul(
         wzy = jax.lax.dynamic_index_in_dim(
             wz, z_idx, axis=2, keepdims=True
         ) * wy  # [B, N, D]
-        return jnp.einsum(
+        occ = jnp.einsum(
             "bny,bnx->byx", wzy, wx, precision=jax.lax.Precision.HIGHEST
         )
+        if rgb is None:
+            return occ
+        col = jnp.einsum(
+            "bnyc,bnx->byxc",
+            wzy[..., None] * rgb[:, :, None, :],
+            wx,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return occ, col
 
-    grid = jax.lax.map(slab, jnp.arange(D))  # [Dz, B, Dy, Dx]
-    return jnp.moveaxis(grid, 0, 1)
+    if rgb is None:
+        grid = jax.lax.map(slab, jnp.arange(D))  # [Dz, B, Dy, Dx]
+        return jnp.moveaxis(grid, 0, 1)
+    grid, col = jax.lax.map(slab, jnp.arange(D))
+    grid = jnp.moveaxis(grid, 0, 1)
+    rgb_grid = jnp.moveaxis(col, 0, 1) / jnp.maximum(
+        grid[..., None], 1e-6
+    )
+    return grid, rgb_grid
