@@ -54,9 +54,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dpcx.render import pallas_blocked as _blocked
 from dpcx.render.drc import drc_projection
 from dpcx.render.gauss import blur_matrix
 from dpcx.render.voxelize import ndc_to_grid
+
+# stage-ablation switch shared with the blocked kernel (bench-only):
+# subset of {"splat", "zblur", "yxblur", "drc"} read at trace time
+def _skips():
+    return _blocked.DEBUG_SKIP
 
 
 def _iota_f32(shape, dim):
@@ -157,7 +163,8 @@ def _fused_kernel(
             return 0
 
         # dynamic bound (from SMEM) so the loop cannot be unrolled
-        jax.lax.fori_loop(0, counts_ref[0], chunk_body, 0)
+        if "splat" not in _skips():
+            jax.lax.fori_loop(0, counts_ref[0], chunk_body, 0)
 
         # ---- stage 2: separable blur, G slabs per matmul ----
         # Pass A handles y and x for G z-slabs at once on merged (g, y)
@@ -185,7 +192,8 @@ def _fused_kernel(
             ).astype(grid_dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_bgroups, blur_xy_impl, 0)
+        if "yxblur" not in _skips():
+            jax.lax.fori_loop(0, n_bgroups, blur_xy_impl, 0)
 
         def blur_z(yg, _):
             # in-place: the z-contraction for a y-block reads and writes
@@ -207,7 +215,8 @@ def _fused_kernel(
             ).astype(grid_dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_bgroups, blur_z, 0)
+        if "zblur" not in _skips():
+            jax.lax.fori_loop(0, n_bgroups, blur_z, 0)
 
         # ---- stage 3: DRC expected-visibility reduction over z ----
         # G slabs loaded per dynamic iteration; the (inherently
@@ -229,7 +238,7 @@ def _fused_kernel(
 
         zero = jnp.zeros((D, D), jnp.float32)
         sil, depth, trans = jax.lax.fori_loop(
-            0, n_bgroups, drc_body,
+            0, 0 if "drc" in _skips() else n_bgroups, drc_body,
             (zero, zero, jnp.ones((D, D), jnp.float32)),
         )
         sil_ref[pl.ds(s, 1)] = sil.reshape(1, D, D)

@@ -32,7 +32,7 @@ cfg = Config(
     learning_rate=2e-4,
     pc_relative_sigma=0.08,
     pc_relative_sigma_end=0.02,
-    sigma_anneal_steps=30000,
+    sigma_anneal_steps=40000,
     pc_point_dropout=1.0,
     predict_pose=True,
     pose_predict_num_candidates=4,
@@ -45,8 +45,8 @@ cfg = Config(
     save_every=10**9,
     eval_every=5000,
 )
-MAX_STEPS = 60000
-ds = Dataset(make_dataset(cfg, 160, seed=0, gt_points=4096), cfg)
+MAX_STEPS = 80000
+ds = Dataset(make_dataset(cfg, 2000, seed=0, gt_points=4096), cfg)
 ev = Dataset(make_dataset(cfg, 32, seed=99, gt_points=4096), cfg)
 t0 = time.time()
 state, hist = train(
@@ -56,14 +56,14 @@ state, hist = train(
 dt = time.time() - t0
 print(f"train {MAX_STEPS} steps: {dt:.0f}s "
       f"({hist[-1].get('steps_per_sec', 0):.1f} steps/s)", flush=True)
-final_ev = evaluate(cfg, state.params, ev, batch_size=16)
+final_ev = evaluate(cfg, state.params, ev, view_idx=None, batch_size=16)
 final_tr = evaluate(
     cfg, state.params,
     Dataset(jax.tree.map(lambda x: x[:32], ds.records), cfg),
     batch_size=16,
 )
 out = {
-    "config": "pose_long_r2 (synthetic chairs, 160 models, K=4+student)",
+    "config": "pose_long_r2 (synthetic chairs, 2000 models, K=4+student)",
     "max_steps": MAX_STEPS,
     "wall_seconds": round(dt, 1),
     "heldout": final_ev,

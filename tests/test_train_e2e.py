@@ -132,12 +132,14 @@ def test_dp_scan_matches_single_device_scan():
     s2 = create_state(cfg, jax.random.PRNGKey(0))
     s2, m2 = train_steps_scan_dp(cfg, s2, recs, key, 4, mesh)
 
+    # pmean reduction order differs from the full-batch sum and the nets
+    # run bf16 compute, so tolerances are loose — a wrong DP reduction
+    # would diverge by orders of magnitude, not fractions of a percent
     np.testing.assert_allclose(
-        float(m1["loss_total"]), float(m2["loss_total"]), rtol=2e-4
+        float(m1["loss_total"]), float(m2["loss_total"]), rtol=2e-3
     )
-    # params track the single-device trajectory (pmean reduction order
-    # differs from the full-batch sum, and Adam's g/sqrt(v) amplifies
-    # that noise early — so tolerance is loose but catches real bugs)
+    # params track the single-device trajectory (Adam's g/sqrt(v)
+    # amplifies the reduction noise early)
     p1 = jax.tree.leaves(s1.params)
     p2 = jax.tree.leaves(s2.params)
     for a, b in zip(p1, p2):
