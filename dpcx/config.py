@@ -66,6 +66,10 @@ class Config:
     # --- pose (ref: dpc/models/model_pc.py::predict_pose) ---
     predict_pose: bool = False
     pose_predict_num_candidates: int = 4
+    # fixed azimuth rotations per candidate (uniform about the vertical
+    # axis), composed with predicted corrections — the ensemble covers the
+    # flip/azimuth modes by construction (paper pose-ensemble design)
+    pose_candidate_offsets: bool = True
     pose_student: bool = True
     pose_student_weight: float = 20.0
     predict_translation: bool = False  # per-candidate camera-frame offset

@@ -43,6 +43,7 @@ class ModelPointCloud(nn.Module):
                 num_candidates=c.pose_predict_num_candidates,
                 with_student=c.pose_student,
                 predict_translation=c.predict_translation,
+                candidate_offsets=c.pose_candidate_offsets,
                 compute_dtype=dtype,
             )
 

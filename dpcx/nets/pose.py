@@ -13,7 +13,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dpcx.geometry.quaternion import quaternion_normalize
+from dpcx.geometry.quaternion import (
+    quaternion_multiply,
+    quaternion_normalize,
+)
 
 
 class PoseHead(nn.Module):
@@ -21,6 +24,7 @@ class PoseHead(nn.Module):
     with_student: bool = True
     hidden: int = 256
     predict_translation: bool = False
+    candidate_offsets: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -40,7 +44,27 @@ class PoseHead(nn.Module):
         # bias init keeps candidates near identity-but-distinct at start
         quats = raw.astype(jnp.float32).reshape(B, self.num_candidates, 4)
         quats = quats + jnp.asarray([1.0, 0.0, 0.0, 0.0])
-        out = {"quats": quaternion_normalize(quats)}
+        quats = quaternion_normalize(quats)
+        if self.candidate_offsets and self.num_candidates > 1:
+            # Mode coverage by construction (paper §3.2 pose ensemble): each
+            # candidate is a FIXED rotation about the vertical (world y-up)
+            # axis, uniformly spaced over azimuth, composed with the
+            # predicted correction. The hard-min loss then lets the
+            # correctly-oriented candidate win per sample instead of every
+            # head having to discover the 180-deg flip mode from identity.
+            theta = (
+                2.0
+                * jnp.pi
+                * jnp.arange(self.num_candidates, dtype=jnp.float32)
+                / self.num_candidates
+            )
+            zeros = jnp.zeros_like(theta)
+            off = jnp.stack(
+                [jnp.cos(theta / 2), zeros, jnp.sin(theta / 2), zeros],
+                axis=-1,
+            )  # [K, 4]: azimuth offset applied to object coords first
+            quats = quaternion_multiply(quats, off)
+        out = {"quats": quats}
         if self.with_student:
             sraw = nn.Dense(4, dtype=self.compute_dtype, name="fc_student")(x)
             out["student_quat"] = quaternion_normalize(

@@ -644,6 +644,11 @@ def _window_metadata(
     return zb.astype(jnp.int32), nt.astype(jnp.int32)
 
 
+# bench-only tiling overrides (scripts/sweep_fused_tiles.py): keys
+# "z_group" / "n_chunk" / "samples" replace the picked values at trace time
+TILE_OVERRIDES: dict = {}
+
+
 def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
     """(G, C, S, Gb) tiling for the fused kernels."""
     if D % 8:
@@ -652,12 +657,15 @@ def _pack_params(B: int, N: int, D: int) -> tuple[int, int, int, int]:
             "(blur/DRC process z in groups of 8 slabs)"
         )
     G, C = _pick_tiling(N, D)
+    G = TILE_OVERRIDES.get("z_group", G)
+    C = TILE_OVERRIDES.get("n_chunk", C)
     budget = (2 if D <= 64 else 1) * 1024 * 1024
     S = B
     while S > 1 and (B % S or S * N * 16 > budget):
         S -= 1
     while B % S:
         S -= 1
+    S = TILE_OVERRIDES.get("samples", S)
     Gb = min(D, 8)
     return G, C, S, Gb
 

@@ -1,0 +1,104 @@
+"""Round-2 predicted-pose protocol (VERDICT item 2), parameterized.
+
+Best round-1.5 recipe: 1500 asymmetric synthetic chairs, 40k steps, sigma
+0.08->0.02 annealed over 20k, device-resident pallas bf16 (118 steps/s).
+That run reached heldout acc@30 = 0.594 / median 13.9 deg with the residual
+errors being discrete ~180-deg azimuth flips (NOTES.md round-2 pose
+findings). This script layers the candidate-azimuth-offset ensemble
+(dpcx/nets/pose.py) and exposes the knobs that matter so variants are one
+CLI flag, not an edit.
+
+Usage: python scripts/pose_r2.py --tag offsets --steps 40000
+"""
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+
+from dpcx.config import Config
+from dpcx.data.dataset import Dataset
+from dpcx.data.synthetic import make_dataset
+from dpcx.predict import evaluate
+from dpcx.train import train
+
+p = argparse.ArgumentParser()
+p.add_argument("--tag", default="offsets")
+p.add_argument("--steps", type=int, default=40000)
+p.add_argument("--models", type=int, default=1500)
+p.add_argument("--anneal", type=int, default=20000)
+p.add_argument("--sigma0", type=float, default=0.08)
+p.add_argument("--sigma1", type=float, default=0.02)
+p.add_argument("--k", type=int, default=4)
+p.add_argument("--no-offsets", action="store_true")
+p.add_argument("--student-weight", type=float, default=5.0)
+p.add_argument("--lr", type=float, default=2e-4)
+p.add_argument("--views-per-step", type=int, default=3)
+args = p.parse_args()
+
+cfg = Config(
+    name=f"pose_r2_{args.tag}",
+    category="chair",
+    checkpoint_dir=f"/tmp/dpcx_pose_r2_{args.tag}",
+    pc_num_points=2048,
+    vox_size=32,
+    mask_size=32,
+    image_size=64,
+    encoder_filters=(16, 32, 64, 128),
+    latent_dim=512,
+    fc_hidden=512,
+    pc_decoder_hidden=(512, 512),
+    batch_size=16,
+    num_views=5,
+    views_per_step=args.views_per_step,
+    learning_rate=args.lr,
+    pc_relative_sigma=args.sigma0,
+    pc_relative_sigma_end=args.sigma1,
+    sigma_anneal_steps=args.anneal,
+    pc_point_dropout=1.0,
+    predict_pose=True,
+    pose_predict_num_candidates=args.k,
+    pose_candidate_offsets=not args.no_offsets,
+    pose_student=True,
+    pose_student_weight=args.student_weight,
+    renderer="pallas",
+    pallas_acc_dtype="bfloat16",
+    device_data=True,
+    log_every=1000,
+    save_every=10**9,
+    eval_every=10000,
+)
+ds = Dataset(make_dataset(cfg, args.models, seed=0, gt_points=4096), cfg)
+ev = Dataset(make_dataset(cfg, 32, seed=99, gt_points=4096), cfg)
+t0 = time.time()
+state, hist = train(
+    cfg, dataset=ds, max_steps=args.steps, use_checkpoints=False,
+    eval_dataset=ev,
+)
+dt = time.time() - t0
+print(
+    f"train {args.steps} steps: {dt:.0f}s "
+    f"({hist[-1].get('steps_per_sec', 0):.1f} steps/s)",
+    flush=True,
+)
+final_ev = evaluate(cfg, state.params, ev, view_idx=None, batch_size=16)
+final_tr = evaluate(
+    cfg,
+    state.params,
+    Dataset(jax.tree.map(lambda x: x[:32], ds.records), cfg),
+    batch_size=16,
+)
+out = {
+    "config": vars(args),
+    "wall_seconds": round(dt, 1),
+    "heldout": final_ev,
+    "train_subset": final_tr,
+    "history": hist[-4:],
+}
+Path("artifacts").mkdir(exist_ok=True)
+Path(f"artifacts/pose_r2_{args.tag}.json").write_text(
+    json.dumps(out, indent=1)
+)
+print("heldout:", json.dumps(final_ev), flush=True)
+print("train:", json.dumps(final_tr), flush=True)

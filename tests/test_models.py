@@ -63,6 +63,45 @@ def test_model_pose_forward():
     )
 
 
+def test_pose_candidate_offsets():
+    """With offsets on, candidate k is (approximately, at init) the fixed
+    azimuth rotation 2*pi*k/K about the vertical axis — the ensemble
+    covers the flip modes by construction; with offsets off, all
+    candidates start near identity."""
+    from dpcx.geometry.quaternion import quaternion_rotate
+
+    img = jnp.zeros((1, TINY.image_size, TINY.image_size, 3))
+    p = jnp.asarray([[0.3, 0.0, 0.2]])  # a point off the rotation axis
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=4,
+        pose_candidate_offsets=True,
+    )
+    model = ModelPointCloud(cfg)
+    params = model.init(jax.random.PRNGKey(0), img)
+    quats = model.apply(params, img)["quats"][0]  # [4, 4]
+    np.testing.assert_allclose(
+        jnp.linalg.norm(quats, axis=-1), 1.0, rtol=1e-5
+    )
+    # candidate 2 (theta=pi) maps the test point near its y-axis mirror
+    rot2 = quaternion_rotate(p, quats[2])
+    base = quaternion_rotate(p, quats[0])
+    flipped = base * jnp.asarray([-1.0, 1.0, -1.0])
+    np.testing.assert_allclose(rot2, flipped, atol=0.15)
+    # candidates are genuinely spread: pairwise |<q_i, q_j>| well below 1
+    dots = jnp.abs(jnp.einsum("kd,jd->kj", quats, quats))
+    off_diag = dots - jnp.diag(jnp.diag(dots))
+    assert float(off_diag.max()) < 0.9
+
+    cfg_off = cfg.replace(pose_candidate_offsets=False)
+    model_off = ModelPointCloud(cfg_off)
+    params_off = model_off.init(jax.random.PRNGKey(0), img)
+    q_off = model_off.apply(params_off, img)["quats"][0]
+    dots_off = jnp.abs(jnp.einsum("kd,jd->kj", q_off, q_off))
+    assert float(dots_off.min()) > 0.9  # all near the same rotation
+
+
 def test_loss_gt_pose_runs_and_grads():
     model = ModelPointCloud(TINY)
     batch = _fake_batch(TINY)
