@@ -118,8 +118,13 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     D = 64
     # iters large enough to amortize the fixed ~25-30 ms per-dispatch
-    # round trip of the tunnel (measured; NOTES.md)
-    B, N, iters = (16, 16384, 150) if on_tpu else (2, 256, 3)
+    # round trip of the tunnel (measured; NOTES.md). B=48 is the flagship
+    # training step's ACTUAL render batch (batch_size 16 x views_per_step
+    # 3, losses.py batches all views into one fused call); the scan
+    # harness itself costs ~99 us/iteration (measured,
+    # scripts/time_overheads.py), so small-B numbers under-report the
+    # kernel. b16_value is kept for round-over-round comparability.
+    B, N, iters = (48, 16384, 100) if on_tpu else (2, 256, 3)
     pts, quat = _inputs(B, N)
     sigma = jnp.asarray(0.02)
 
@@ -142,6 +147,10 @@ def main() -> None:
     if on_tpu:
         rec["fp32_value"] = round(
             measure(cfg("float32"), pts, quat, sigma, iters), 2
+        )
+        pts16, quat16 = _inputs(16, N, key=7)
+        rec["b16_value"] = round(
+            measure(cfg("bfloat16"), pts16, quat16, sigma, 150), 2
         )
         pts128, quat128 = _inputs(4, 16000, key=4)
         rec["d128_value"] = round(

@@ -614,9 +614,12 @@ def _chunk_size(num_points: int) -> int:
 
 
 def _pick_tiling(num_points: int, vox: int) -> tuple[int, int]:
-    """(z_group, n_chunk): G*D ~ 512 lanes per window, C sized so a sorted
-    chunk's typical z-span fits in about one window."""
-    g = max(1, min(vox, 512 // vox))
+    """(z_group, n_chunk): G*D ~ 256 lanes per window, C sized so a sorted
+    chunk's typical z-span fits in about one window. (G*D ~ 512 was the
+    round-1 default; the round-2 sweep at D=64/N=16k measured G=4 ~8%
+    faster than G=8 — the dense window burns G*D*C work per trip while a
+    sorted chunk only spans 2-3 slabs — and G<4 loses it to trip count.)"""
+    g = max(1, min(vox, 256 // vox))
     while vox % g:
         g -= 1
     c = _chunk_size(num_points)
@@ -790,24 +793,25 @@ def _xla_reference(
     return sil, depth
 
 
-def _sort_with_order(coords_w: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _sort_with_order(
+    coords_t: jax.Array, with_order: bool = True
+) -> tuple[jax.Array, jax.Array | None]:
     """Depth-sort via multi-operand lax.sort with an index payload — far
     cheaper on TPU than argsort + take_along_axis (no gather in the
-    forward). Returns ([B, 4, N] sorted, [B, N] original indices)."""
-    B, N, _ = coords_w.shape
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-    gz, gy, gx, pw, order = jax.lax.sort(
-        (
-            coords_w[..., 0],
-            coords_w[..., 1],
-            coords_w[..., 2],
-            coords_w[..., 3],
-            idx,
-        ),
-        dimension=1,
-        num_keys=1,
-    )
-    return jnp.stack([gz, gy, gx, pw], axis=1), order
+    forward). Input is CHANNEL-MAJOR [B, 4, N] (rows z, y, x, w: each sort
+    operand is a contiguous row, not a stride-4 slice). Returns
+    ([B, 4, N] sorted, [B, N] original indices or None).
+
+    ``with_order=False`` drops the index payload — the primal (non-VJP)
+    path never un-sorts, so it saves one [B, N] int32 operand."""
+    B, _, N = coords_t.shape
+    ops = [coords_t[:, k, :] for k in range(4)]
+    if with_order:
+        ops.append(
+            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+        )
+    out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    return jnp.stack(out[:4], axis=1), (out[4] if with_order else None)
 
 
 def _forward_dispatch(sorted_t, kmat, vox, radius, with_depth, acc_dtype,
@@ -829,17 +833,17 @@ def _forward_dispatch(sorted_t, kmat, vox, radius, with_depth, acc_dtype,
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
 )
-def _fused_render(coords_w, kmat, vox, radius, with_depth, acc_dtype,
+def _fused_render(coords_t, kmat, vox, radius, with_depth, acc_dtype,
                   interpret):
-    sorted_t, _ = _sort_with_order(coords_w)
+    sorted_t, _ = _sort_with_order(coords_t, with_order=False)
     return _forward_dispatch(
         sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
     )
 
 
-def _fused_fwd(coords_w, kmat, vox, radius, with_depth, acc_dtype,
+def _fused_fwd(coords_t, kmat, vox, radius, with_depth, acc_dtype,
                interpret):
-    sorted_t, order = _sort_with_order(coords_w)
+    sorted_t, order = _sort_with_order(coords_t)
     out = _forward_dispatch(
         sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
     )
@@ -874,10 +878,8 @@ def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
         )
     dkmat = jnp.zeros_like(kmat)
     inv = jnp.argsort(order, axis=1)
-    d_cw = jnp.take_along_axis(
-        jnp.moveaxis(d_sorted, 1, 2), inv[..., None], axis=1
-    )
-    return d_cw, dkmat
+    d_ct = jnp.take_along_axis(d_sorted, inv[:, None, :], axis=2)
+    return d_ct, dkmat
 
 
 _fused_render.defvjp(_fused_fwd, _fused_bwd)
@@ -899,16 +901,46 @@ def pallas_project(
     project.pointcloud_project (stage 1, the perspective transform, stays in
     XLA where it fuses with upstream compute).
     """
-    B, N, _ = points_ndc.shape
+    return pallas_project_t(
+        jnp.swapaxes(points_ndc, -1, -2),
+        vox_size,
+        sigma_vox,
+        kernel_radius,
+        point_weights=point_weights,
+        with_depth=with_depth,
+        acc_dtype=acc_dtype,
+        interpret=interpret,
+    )
+
+
+def pallas_project_t(
+    ndc_t: jax.Array,
+    vox_size: int,
+    sigma_vox: jax.Array,
+    kernel_radius: int,
+    point_weights: jax.Array | None = None,
+    with_depth: bool = False,
+    acc_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array | None]:
+    """CHANNEL-MAJOR fused projection: ndc_t [B, 3, N] (rows x, y, z_ndc,
+    from pc_perspective_transform_t) -> sil [B, D, D].
+
+    This is the production entry for the model layer: keeping N on the
+    lanes from the transform through the sort avoids the [B, N, 3]
+    lane-padded elementwise chain and the stride-4 field slices the
+    row-major wrapper pays for."""
+    B, _, N = ndc_t.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    g = ndc_to_grid(points_ndc, vox_size)  # [B, N, 3] (z, y, x)
+    # NDC -> grid units, row order (z, y, x) (== ndc_to_grid, transposed)
+    g_t = (ndc_t[:, ::-1, :] + 0.5) * vox_size - 0.5
     pw = (
-        jnp.ones((B, N), points_ndc.dtype)
+        jnp.ones((B, 1, N), ndc_t.dtype)
         if point_weights is None
-        else point_weights
+        else point_weights[:, None, :]
     )
-    coords_w = jnp.concatenate([g, pw[..., None]], axis=-1)
+    coords_t = jnp.concatenate([g_t, pw], axis=1)  # [B, 4, N]
     # pad N to a multiple of the chunk size (Mosaic lane alignment) with
     # zero-weight points far past the grid top: they sort to the end,
     # their hat weights at every valid cell are zero, and the padding sits
@@ -916,12 +948,12 @@ def pallas_project(
     c = _chunk_size(N)
     Np = -(-N // c) * c
     if Np != N:
-        pad = jnp.zeros((B, Np - N, 4), coords_w.dtype)
-        pad = pad.at[:, :, 0].set(4.0 * vox_size)
-        coords_w = jnp.concatenate([coords_w, pad], axis=1)
+        pad = jnp.zeros((B, 4, Np - N), coords_t.dtype)
+        pad = pad.at[:, 0, :].set(4.0 * vox_size)
+        coords_t = jnp.concatenate([coords_t, pad], axis=2)
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
     sil, depth = _fused_render(
-        coords_w, kmat, vox_size, kernel_radius, with_depth, acc_dtype,
+        coords_t, kmat, vox_size, kernel_radius, with_depth, acc_dtype,
         interpret,
     )
     return sil, (depth if with_depth else None)

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from dpcx.config import Config
 from dpcx.render.drc import drc_projection, sum_projection
 from dpcx.render.gauss import kernel_radius, smoothen_voxels3d
-from dpcx.render.transform import pc_perspective_transform
+from dpcx.render.transform import (
+    pc_perspective_transform,
+    pc_perspective_transform_t,
+)
 from dpcx.render.voxelize import (
     pointcloud2voxels_matmul,
     pointcloud2voxels_scatter,
@@ -84,14 +87,7 @@ def pointcloud_project_fn(
     points = points.astype(dtype)
     quat = quat.astype(dtype)
     D = cfg.vox_size
-
-    ndc = pc_perspective_transform(
-        points,
-        quat,
-        focal_length=cfg.focal_length,
-        camera_distance=cfg.camera_distance,
-        translation=None if translation is None else translation.astype(dtype),
-    )
+    trans = None if translation is None else translation.astype(dtype)
 
     # radius must cover the widest sigma the anneal will ever use (an
     # upward anneal would otherwise truncate the kernel for most of
@@ -120,11 +116,21 @@ def pointcloud_project_fn(
         # grids would need a smaller Dz selected for the VMEM budget.
         and D <= 128
     ):
-        # fused TPU kernel path (stage 2-4 in one pallas_call)
-        from dpcx.render.pallas_kernel import pallas_project
+        # fused TPU kernel path (stage 1 channel-major, 2-4 in one
+        # pallas_call): the transform computes in [B, 3, N] rows so N
+        # rides the lanes straight into the sort (the [B, N, 3] form costs
+        # a lane-padded elementwise chain + stride-3 field slices)
+        from dpcx.render.pallas_kernel import pallas_project_t
 
-        sil, depth = pallas_project(
-            ndc,
+        ndc_t = pc_perspective_transform_t(
+            points,
+            quat,
+            focal_length=cfg.focal_length,
+            camera_distance=cfg.camera_distance,
+            translation=trans,
+        )
+        sil, depth = pallas_project_t(
+            ndc_t,
             D,
             sigma_vox,
             radius,
@@ -133,6 +139,14 @@ def pointcloud_project_fn(
             acc_dtype=cfg.pallas_acc_dtype,
         )
         return RenderOut(silhouette=sil, depth=depth)
+
+    ndc = pc_perspective_transform(
+        points,
+        quat,
+        focal_length=cfg.focal_length,
+        camera_distance=cfg.camera_distance,
+        translation=trans,
+    )
 
     rgb_grid = None
     if rgb is not None:

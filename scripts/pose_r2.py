@@ -25,6 +25,7 @@ from dpcx.train import train
 
 p = argparse.ArgumentParser()
 p.add_argument("--tag", default="offsets")
+p.add_argument("--category", default="chair")
 p.add_argument("--steps", type=int, default=40000)
 p.add_argument("--models", type=int, default=1500)
 p.add_argument("--anneal", type=int, default=20000)
@@ -39,7 +40,7 @@ args = p.parse_args()
 
 cfg = Config(
     name=f"pose_r2_{args.tag}",
-    category="chair",
+    category=args.category,
     checkpoint_dir=f"/tmp/dpcx_pose_r2_{args.tag}",
     pc_num_points=2048,
     vox_size=32,

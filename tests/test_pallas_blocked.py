@@ -24,7 +24,7 @@ def _sorted_coords(key, D, B, N, lim):
     pts = jax.random.uniform(key, (B, N, 3), minval=-lim, maxval=lim)
     g = ndc_to_grid(pts, D)
     cw = jnp.concatenate([g, jnp.ones((B, N, 1))], -1)
-    st, _ = _sort_with_order(cw)
+    st, _ = _sort_with_order(jnp.swapaxes(cw, 1, 2))
     return st
 
 

@@ -109,3 +109,23 @@ def test_schedules():
     k1 = keep_prob_schedule(CFG, jnp.asarray(10**9))
     np.testing.assert_allclose(k0, CFG.pc_point_dropout, rtol=1e-5)
     np.testing.assert_allclose(k1, 1.0, rtol=1e-6)
+
+
+def test_transform_channel_major_matches():
+    """pc_perspective_transform_t (the fused-kernel pre-pass form) is the
+    exact transpose of pc_perspective_transform, incl. translation."""
+    from dpcx.render.transform import (
+        pc_perspective_transform,
+        pc_perspective_transform_t,
+    )
+
+    k = jax.random.PRNGKey(3)
+    pts = jax.random.uniform(k, (4, 257, 3), minval=-0.5, maxval=0.5)
+    q = jax.random.normal(jax.random.PRNGKey(4), (4, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (4, 3))
+    a = pc_perspective_transform(pts, q, translation=t)
+    b = pc_perspective_transform_t(pts, q, translation=t)
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(jnp.swapaxes(a, 1, 2)), atol=1e-6
+    )
