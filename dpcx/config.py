@@ -80,6 +80,9 @@ class Config:
     drc_weight: float = 0.0            # depth-projection loss weight
     scale_weight: float = 0.0          # scale regularizer
     rgb_weight: float = 1.0            # color re-projection loss (pc_rgb)
+    rgb_background: float = 1.0        # bg color composited into rendered
+                                       # rgb before the loss (datagen
+                                       # composites a white background)
 
     # --- training (ref: dpc/run/train_eval.py) ---
     batch_size: int = 16

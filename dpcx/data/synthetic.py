@@ -260,6 +260,8 @@ def make_model(
 def make_dataset(
     cfg: Config, num_models: int, seed: int = 0, category: str | None = None,
     gt_points: int = 16000,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> dict:
     """Stacked records for ``num_models`` models (host-side loop over the
     jit-compiled per-model generator).
@@ -267,7 +269,20 @@ def make_dataset(
     ``category="multi"`` cycles through all categories (the joint
     multi-category training setup of BASELINE config 4); the per-model
     category index is recorded in ``category_idx``.
+
+    Multi-host datagen (SURVEY.md §5 comm row: "datagen/eval over hosts
+    via jax.process_index sharding"): on a multi-process runtime each host
+    generates only the strided slice ``process_index::process_count`` of
+    the model list — same per-model keys/categories as a single host (the
+    global PRNG split happens before slicing), so shards from P hosts
+    concatenate to exactly the 1-host dataset. Defaults read
+    ``jax.process_index()/count()``; pass explicitly to test without a
+    cluster.
     """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
     category = category or cfg.category
     keys = jax.random.split(jax.random.PRNGKey(seed), num_models)
     if category == "multi":
@@ -276,11 +291,10 @@ def make_dataset(
         if category not in _CATEGORY_FNS:
             category = "chair"
         cats = [category] * num_models
-    records = [
-        make_model(k, cfg, c, gt_points) for k, c in zip(keys, cats)
-    ]
+    mine = range(process_index, num_models, process_count)
+    records = [make_model(keys[i], cfg, cats[i], gt_points) for i in mine]
     out = jax.tree.map(lambda *xs: jnp.stack(xs), *records)
     out["category_idx"] = jnp.asarray(
-        [CATEGORIES.index(c) for c in cats], jnp.int32
+        [CATEGORIES.index(cats[i]) for i in mine], jnp.int32
     )
     return out

@@ -141,11 +141,18 @@ def compute_loss(
         metrics["loss_proj"] = proj_loss
         if rgb_proj is not None and "images_tgt" in batch:
             # color re-projection: compare inside the GT silhouette against
-            # the target-view render, downsampled to the mask resolution
+            # the target-view render, downsampled to the mask resolution.
+            # Composite the background into the prediction first — target
+            # images are bg-composited renders (datagen: rgb + (1-sil)*bg),
+            # so raw expected color under-shoots wherever sil < 1 (edges,
+            # thin parts) and the mismatch drags the shape
             tgt = jax.image.resize(
                 batch["images_tgt"], (B, V, D, D, 3), method="bilinear"
             )
             rgb_proj = rgb_proj.reshape(B, V, D, D, 3)
+            rgb_proj = rgb_proj + (
+                1.0 - sil.reshape(B, V, D, D)[..., None]
+            ) * cfg.rgb_background
             w = masks[..., None]
             rgb_loss = jnp.sum(w * (rgb_proj - tgt) ** 2) / jnp.maximum(
                 jnp.sum(w) * 3.0, 1.0
@@ -209,6 +216,56 @@ def compute_loss(
         total = total + cfg.proj_weight * proj_loss
         metrics["loss_proj"] = proj_loss
         metrics["cand_spread"] = jnp.mean(l_k.max(axis=1) - l_k.min(axis=1))
+        if (
+            cfg.pc_rgb
+            and "rgb" in preds
+            and "images_tgt" in batch
+            and cfg.rgb_weight > 0
+        ):
+            # Color re-projection through the WINNING candidate only (the
+            # hard-min already gates silhouette gradients to the winner;
+            # rendering rgb for all K would cost K renders for gradients
+            # the min would discard anyway). For near-mirror-symmetric
+            # categories the silhouette admits flipped pose gauges that
+            # textures do not — this term is what makes the pose lock.
+            q_win = jnp.take_along_axis(
+                q_full, k_star[:, None, None, None], axis=1
+            ).squeeze(1)  # [B, V, 4]
+            t_win = None
+            if "translation" in preds:
+                t_win = jnp.repeat(
+                    jnp.take_along_axis(
+                        preds["translation"], k_star[:, None, None], axis=1
+                    ).squeeze(1),
+                    V,
+                    axis=0,
+                )
+            out = pointcloud_project_fn(
+                cfg,
+                jnp.repeat(points, V, axis=0),
+                q_win.reshape(B * V, 4),
+                sigma_rel,
+                point_weights=(
+                    None
+                    if point_weights is None
+                    else jnp.repeat(point_weights, V, axis=0)
+                ),
+                rgb=jnp.repeat(preds["rgb"], V, axis=0),
+                translation=t_win,
+            )
+            tgt = jax.image.resize(
+                batch["images_tgt"], (B, V, D, D, 3), method="bilinear"
+            )
+            # background-composite to match the targets (see GT branch)
+            rgb_proj = out.rgb.reshape(B, V, D, D, 3) + (
+                1.0 - out.silhouette.reshape(B, V, D, D)[..., None]
+            ) * cfg.rgb_background
+            w = masks[..., None]
+            rgb_loss = jnp.sum(w * (rgb_proj - tgt) ** 2) / jnp.maximum(
+                jnp.sum(w) * 3.0, 1.0
+            )
+            total = total + cfg.rgb_weight * rgb_loss
+            metrics["loss_rgb"] = rgb_loss
         if cfg.pose_student and "student_quat" in preds:
             q_teacher = jax.lax.stop_gradient(
                 jnp.take_along_axis(

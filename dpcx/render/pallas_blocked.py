@@ -293,12 +293,15 @@ def _blocked_fwd_kernel(
     kronz_ref,   # [Dz*Gbz, L*Gbz]
     sil_ref,     # [1, D, D] out (revisited across z-blocks)
     depth_ref,   # [1, D, D] out
-    grid_ref,    # [L+G, D, D] scratch
-    trans_ref,   # [D, D] f32 scratch: the running-transmittance carry
-    *,
+    *refs,       # [gout_ref if save_grid], grid_ref, trans_ref
     vox: int, dz_block: int, radius: int, z_group: int, n_chunk: int,
     z_sub_group: int, with_depth: bool, acc_dtype,
+    save_grid: bool = False,
 ):
+    if save_grid:
+        gout_ref, grid_ref, trans_ref = refs
+    else:
+        grid_ref, trans_ref = refs
     D, Dz, R, G, C = vox, dz_block, radius, z_group, n_chunk
     L = Dz + 2 * R
     b = pl.program_id(0)
@@ -323,6 +326,16 @@ def _blocked_fwd_kernel(
         kmat_ref, kronz_ref, counts_ref, grid_ref,
         D=D, Dz=Dz, R=R, L=L, Gbz=z_sub_group, **common,
     )
+    if save_grid:
+        # stash the blurred interior block for the backward: both bwd
+        # passes only need the interior (pass 2's blur-bwd regenerates
+        # the halo rows itself), so the residual is exactly the blurred
+        # occupancy grid and the backward never re-splats/re-blurs
+        gout_ref[:] = (
+            grid_ref[pl.ds(R, Dz), :, :]
+            .reshape(1, Dz, D, D)
+            .astype(gout_ref.dtype)
+        )
 
     @pl.when(zj == 0)
     def _():
@@ -365,13 +378,19 @@ def _blocked_total_kernel(
     g_ref, kmat_ref, kronz_ref,
     dsil_ref,    # [1, D, D] silhouette cotangent
     ddepth_ref,  # [1, D, D] depth cotangent
-    total_ref,   # [1, D, D] out: Total = sum_z p_z*phi_z (+ bg term)
-    grid_ref, trans_ref,
-    *,
+    *refs,       # [gin_ref if use_saved], total_ref, grid_ref, trans_ref
     vox: int, dz_block: int, radius: int, z_group: int, n_chunk: int,
     z_sub_group: int, with_depth: bool, acc_dtype,
+    use_saved: bool = False,
 ):
-    """Backward pass 1: the DRC forward accumulation of Total, blocked."""
+    """Backward pass 1: the DRC forward accumulation of Total, blocked.
+
+    With ``use_saved`` the blurred interior block comes in as an input
+    (the forward's residual) instead of being recomputed."""
+    if use_saved:
+        gin_ref, total_ref, grid_ref, trans_ref = refs
+    else:
+        total_ref, grid_ref, trans_ref = refs
     D, Dz, R, G, C = vox, dz_block, radius, z_group, n_chunk
     L = Dz + 2 * R
     b = pl.program_id(0)
@@ -384,14 +403,17 @@ def _blocked_total_kernel(
     )
     common = dict(acc_dtype=acc_dtype, mxu_prec=mxu_prec,
                   grid_dtype=grid_ref.dtype)
-    _splat_block(
-        flo_ref, fhi_ref, clo_ref, chi_ref, g_ref, grid_ref,
-        b=b, zj=zj, D=D, Dz=Dz, R=R, G=G, C=C, L=L, **common,
-    )
-    _blur_block(
-        kmat_ref, kronz_ref, counts_ref, grid_ref,
-        D=D, Dz=Dz, R=R, L=L, Gbz=z_sub_group, **common,
-    )
+    if use_saved:
+        grid_ref[pl.ds(R, Dz), :, :] = gin_ref[0].astype(grid_ref.dtype)
+    else:
+        _splat_block(
+            flo_ref, fhi_ref, clo_ref, chi_ref, g_ref, grid_ref,
+            b=b, zj=zj, D=D, Dz=Dz, R=R, G=G, C=C, L=L, **common,
+        )
+        _blur_block(
+            kmat_ref, kronz_ref, counts_ref, grid_ref,
+            D=D, Dz=Dz, R=R, L=L, Gbz=z_sub_group, **common,
+        )
 
     @pl.when(zj == 0)
     def _():
@@ -432,14 +454,17 @@ def _blocked_bwd_kernel(
     kronzT_ref,  # [L*Gbz, Dz*Gbz] transpose of the banded z matrix
     dsil_ref, ddepth_ref,
     total_ref,   # [1, D, D] from pass 1
-    dout_ref,    # [1, 4, N] out: d(z, y, x, w), ACCUMULATED across blocks
-    grid_ref, prefix_ref, trans_ref,
-    *,
+    *refs,       # [gin_ref if use_saved], dout_ref, grid, prefix, trans
     vox: int, dz_block: int, radius: int, z_group: int, n_chunk: int,
     z_sub_group: int, with_depth: bool, acc_dtype,
+    use_saved: bool = False,
 ):
-    """Backward pass 2: recompute block, o -> dL/do in place, blur
-    backward (+ banded-z transpose), windowed splat backward."""
+    """Backward pass 2: (re)load the blurred block, o -> dL/do in place,
+    blur backward (+ banded-z transpose), windowed splat backward."""
+    if use_saved:
+        gin_ref, dout_ref, grid_ref, prefix_ref, trans_ref = refs
+    else:
+        dout_ref, grid_ref, prefix_ref, trans_ref = refs
     D, Dz, R, G, C = vox, dz_block, radius, z_group, n_chunk
     Gbz = z_sub_group
     L = Dz + 2 * R
@@ -454,14 +479,20 @@ def _blocked_bwd_kernel(
     grid_dtype = grid_ref.dtype
     common = dict(acc_dtype=acc_dtype, mxu_prec=mxu_prec,
                   grid_dtype=grid_dtype)
-    _splat_block(
-        flo_ref, fhi_ref, clo_ref, chi_ref, g_ref, grid_ref,
-        b=b, zj=zj, D=D, Dz=Dz, R=R, G=G, C=C, L=L, **common,
-    )
-    _blur_block(
-        kmat_ref, kronz_ref, counts_ref, grid_ref,
-        D=D, Dz=Dz, R=R, L=L, Gbz=Gbz, **common,
-    )
+    if use_saved:
+        # only the interior rows are needed: the do conversion reads and
+        # rewrites them, and the z-blur backward regenerates all L raw
+        # rows from the interior
+        grid_ref[pl.ds(R, Dz), :, :] = gin_ref[0].astype(grid_dtype)
+    else:
+        _splat_block(
+            flo_ref, fhi_ref, clo_ref, chi_ref, g_ref, grid_ref,
+            b=b, zj=zj, D=D, Dz=Dz, R=R, G=G, C=C, L=L, **common,
+        )
+        _blur_block(
+            kmat_ref, kronz_ref, counts_ref, grid_ref,
+            D=D, Dz=Dz, R=R, L=L, Gbz=Gbz, **common,
+        )
 
     @pl.when(zj == 0)
     def _():
@@ -674,7 +705,12 @@ def blocked_forward(
     with_depth: bool,
     acc_dtype: str = "float32",
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    save_grid: bool = False,
+):
+    """-> (sil, depth) or, with ``save_grid``, (sil, depth, grid) where
+    grid [B, D, D, D] is the blurred occupancy volume in the acc dtype —
+    the VJP residual that lets blocked_backward skip both of its
+    splat+blur recomputes (HBM: D=128 f32 is 8 MB/sample; bf16 half)."""
     sorted_t = _pad_points(sorted_t, vox)
     B, _, N = sorted_t.shape
     D = vox
@@ -686,32 +722,42 @@ def blocked_forward(
         _blocked_fwd_kernel,
         vox=D, dz_block=p["Dz"], radius=radius, z_group=p["G"],
         n_chunk=p["C"], z_sub_group=p["Gbz"],
-        with_depth=with_depth, acc_dtype=kdt,
+        with_depth=with_depth, acc_dtype=kdt, save_grid=save_grid,
     )
+    out_specs = [specs["img"], specs["img"]]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, D, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, D, D), jnp.float32),
+    ]
+    if save_grid:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, p["Dz"], D, D), lambda b, zj, *_: (b, zj, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((B, D, D, D), kdt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B, D // p["Dz"]),
         in_specs=[specs["g"], specs["kmat"], specs["kronz"]],
-        out_specs=(specs["img"], specs["img"]),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((p["L"] + p["G"], D, D), jnp.float32),
             pltpu.VMEM((D, D), jnp.float32),
         ],
     )
-    sil, depth = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, D, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, D, D), jnp.float32),
-        ),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(flo, fhi, clo, chi, counts, sorted_t, kmat, kronz)
-    return sil, depth
+    return out if save_grid else (out[0], out[1])
 
 
 def blocked_backward(
@@ -724,8 +770,13 @@ def blocked_backward(
     with_depth: bool,
     acc_dtype: str = "float32",
     interpret: bool = False,
+    grid: jax.Array | None = None,
 ) -> jax.Array:
-    """-> d(sorted_t) [B, 4, N] via the two-pass blocked backward."""
+    """-> d(sorted_t) [B, 4, N] via the two-pass blocked backward.
+
+    ``grid`` is the forward's saved blurred volume (blocked_forward with
+    save_grid=True); when given, both passes read their interior block
+    from it instead of re-splatting and re-blurring."""
     n_real = sorted_t.shape[-1]
     sorted_t = _pad_points(sorted_t, vox)
     B, _, N = sorted_t.shape
@@ -734,16 +785,23 @@ def blocked_backward(
         sorted_t, kmat, vox, radius, acc_dtype
     )
     specs = _scalar_specs(D, N, p)
+    use_saved = grid is not None
     common = dict(
         vox=D, dz_block=p["Dz"], radius=radius, z_group=p["G"],
         n_chunk=p["C"], z_sub_group=p["Gbz"],
-        with_depth=with_depth, acc_dtype=kdt,
+        with_depth=with_depth, acc_dtype=kdt, use_saved=use_saved,
     )
     cparams = pltpu.CompilerParams(
         vmem_limit_bytes=32 * 1024 * 1024,
         dimension_semantics=("arbitrary", "arbitrary"),
     )
     grid_scratch = pltpu.VMEM((p["L"] + p["G"], D, D), jnp.float32)
+    gin_spec = pl.BlockSpec(
+        (1, p["Dz"], D, D), lambda b, zj, *_: (b, zj, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gin = (grid,) if use_saved else ()
+    gin_specs = [gin_spec] if use_saved else []
 
     total = pl.pallas_call(
         functools.partial(_blocked_total_kernel, **common),
@@ -751,7 +809,7 @@ def blocked_backward(
             num_scalar_prefetch=5,
             grid=(B, D // p["Dz"]),
             in_specs=[specs["g"], specs["kmat"], specs["kronz"],
-                      specs["img"], specs["img"]],
+                      specs["img"], specs["img"]] + gin_specs,
             out_specs=specs["img"],
             scratch_shapes=[grid_scratch, pltpu.VMEM((D, D), jnp.float32)],
         ),
@@ -759,7 +817,7 @@ def blocked_backward(
         out_shape=jax.ShapeDtypeStruct((B, D, D), jnp.float32),
         interpret=interpret,
     )(flo, fhi, clo, chi, counts, sorted_t, kmat, kronz,
-      d_sil, d_depth)
+      d_sil, d_depth, *gin)
 
     d_sorted = pl.pallas_call(
         functools.partial(_blocked_bwd_kernel, **common),
@@ -768,7 +826,7 @@ def blocked_backward(
             grid=(B, D // p["Dz"]),
             in_specs=[specs["g"], specs["kmat"], specs["kronz"],
                       specs["kronzT"], specs["img"],
-                      specs["img"], specs["img"]],
+                      specs["img"], specs["img"]] + gin_specs,
             out_specs=pl.BlockSpec(
                 (1, 4, N), lambda b, zj, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -783,5 +841,5 @@ def blocked_backward(
         out_shape=jax.ShapeDtypeStruct((B, 4, N), jnp.float32),
         interpret=interpret,
     )(flo, fhi, clo, chi, counts, sorted_t, kmat, kronz,
-      jnp.swapaxes(kronz, 0, 1), d_sil, d_depth, total)
+      jnp.swapaxes(kronz, 0, 1), d_sil, d_depth, total, *gin)
     return d_sorted[:, :, :n_real]

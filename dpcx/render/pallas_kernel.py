@@ -41,8 +41,11 @@ total-minus-prefix identity dL/do_z = T_z phi_z - (Total - prefix_z)/(1-o_z),
 blur backward through the same symmetric Toeplitz matmuls, and splat
 coordinate gradients from two extra MXU matmuls per window trip with
 hat-derivative masks. The forward sorts with a multi-operand lax.sort
-carrying an index payload (no gather); the backward un-sorts its cotangents
-with one gather. D > 64 falls back to differentiating a pure-XLA recompute.
+(index payload only on the VJP path); the backward un-sorts its cotangents
+with another multi-operand sort keyed by the saved order (no gather
+anywhere). D > 64 dispatches to the depth-blocked kernel
+(pallas_blocked.py), whose forward saves the blurred volume as the VJP
+residual so its two-pass backward never re-splats/re-blurs.
 """
 
 from __future__ import annotations
@@ -57,7 +60,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dpcx.render import pallas_blocked as _blocked
 from dpcx.render.drc import drc_projection
 from dpcx.render.gauss import blur_matrix
-from dpcx.render.voxelize import ndc_to_grid
 
 # stage-ablation switch shared with the blocked kernel (bench-only):
 # subset of {"splat", "zblur", "yxblur", "drc"} read at trace time
@@ -844,10 +846,22 @@ def _fused_render(coords_t, kmat, vox, radius, with_depth, acc_dtype,
 def _fused_fwd(coords_t, kmat, vox, radius, with_depth, acc_dtype,
                interpret):
     sorted_t, order = _sort_with_order(coords_t)
-    out = _forward_dispatch(
-        sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
-    )
-    return out, (sorted_t, order, kmat)
+    if vox <= 64:
+        out = _pallas_forward(
+            sorted_t, kmat, vox, with_depth, acc_dtype, interpret
+        )
+        grid = None
+    else:
+        from dpcx.render.pallas_blocked import blocked_forward
+
+        # save the blurred volume as the VJP residual so the two-pass
+        # backward never re-splats/re-blurs (HBM trade, NOTES.md)
+        sil, depth, grid = blocked_forward(
+            sorted_t, kmat, vox, radius, with_depth, acc_dtype,
+            interpret, save_grid=True,
+        )
+        out = (sil, depth)
+    return out, (sorted_t, order, kmat, grid)
 
 
 def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
@@ -860,7 +874,7 @@ def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
     NOTE: the cotangent for kmat (i.e. for the blur sigma) is ZERO on the
     kernel path — the sigma anneal is a schedule, not a learned parameter.
     """
-    sorted_t, order, kmat = res
+    sorted_t, order, kmat, grid = res
     d_sil, d_depth = cts
     if d_depth is None or not with_depth:
         d_depth = jnp.zeros_like(d_sil)
@@ -874,11 +888,20 @@ def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
 
         d_sorted = blocked_backward(
             sorted_t, kmat, d_sil, d_depth, vox, radius, with_depth,
-            acc_dtype, interpret,
+            acc_dtype, interpret, grid=grid,
         )
     dkmat = jnp.zeros_like(kmat)
-    inv = jnp.argsort(order, axis=1)
-    d_ct = jnp.take_along_axis(d_sorted, inv[:, None, :], axis=2)
+    # un-sort WITHOUT a gather: `order` is a permutation, so sorting by it
+    # restores original point positions — one multi-operand lax.sort
+    # (cheap on TPU) instead of argsort + a [B, 4, N] take_along_axis
+    # (gathers are slow on TPU; see NOTES.md)
+    _, d0, d1, d2, d3 = jax.lax.sort(
+        (order, d_sorted[:, 0], d_sorted[:, 1], d_sorted[:, 2],
+         d_sorted[:, 3]),
+        dimension=1,
+        num_keys=1,
+    )
+    d_ct = jnp.stack([d0, d1, d2, d3], axis=1)
     return d_ct, dkmat
 
 

@@ -36,15 +36,21 @@ p.add_argument("--no-offsets", action="store_true")
 p.add_argument("--student-weight", type=float, default=5.0)
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
+p.add_argument("--rgb", action="store_true",
+               help="color re-projection loss through the winning "
+                    "candidate (breaks silhouette-symmetric pose gauges)")
+p.add_argument("--rgb-weight", type=float, default=1.0)
+p.add_argument("--vox", type=int, default=32)
+p.add_argument("--points", type=int, default=2048)
 args = p.parse_args()
 
 cfg = Config(
     name=f"pose_r2_{args.tag}",
     category=args.category,
     checkpoint_dir=f"/tmp/dpcx_pose_r2_{args.tag}",
-    pc_num_points=2048,
-    vox_size=32,
-    mask_size=32,
+    pc_num_points=args.points,
+    vox_size=args.vox,
+    mask_size=args.vox,
     image_size=64,
     encoder_filters=(16, 32, 64, 128),
     latent_dim=512,
@@ -63,6 +69,8 @@ cfg = Config(
     pose_candidate_offsets=not args.no_offsets,
     pose_student=True,
     pose_student_weight=args.student_weight,
+    pc_rgb=args.rgb,
+    rgb_weight=args.rgb_weight,
     renderer="pallas",
     pallas_acc_dtype="bfloat16",
     device_data=True,

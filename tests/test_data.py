@@ -91,3 +91,24 @@ def test_load_external_shards(tmp_path):
     assert ds.num_models == 4
     b = ds.batch(np.random.default_rng(0), 3)
     assert b["image"].shape[0] == 3
+
+
+def test_multihost_datagen_sharding():
+    """Each simulated host generates the strided slice p::P of the model
+    list with the SAME per-model keys as one host (SURVEY.md §5: datagen
+    sharded over jax.process_index) — host shards interleave back to the
+    single-host dataset exactly."""
+    cfg = Config(
+        vox_size=8, mask_size=8, pc_num_points=32, image_size=16,
+        num_views=2,
+    )
+    from dpcx.data.synthetic import make_dataset as mk
+
+    full = mk(cfg, 4, seed=3, gt_points=64)
+    p0 = mk(cfg, 4, seed=3, gt_points=64, process_index=0, process_count=2)
+    p1 = mk(cfg, 4, seed=3, gt_points=64, process_index=1, process_count=2)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(full[k][0::2]),
+                                   np.asarray(p0[k]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(full[k][1::2]),
+                                   np.asarray(p1[k]), atol=1e-6)

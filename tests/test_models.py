@@ -251,3 +251,37 @@ def test_canonical_alignment_refinement_recovers_offset():
     assert res_deg < 2.0, res_deg
     med = float(pose_error_metrics(aligned, gt)["median_err_deg"])
     assert med < 2.0, med
+
+
+def test_pose_rgb_loss_runs_and_grads():
+    """predicted-pose + pc_rgb: color re-projection through the winning
+    candidate contributes a finite loss and gradients to the rgb head."""
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=2,
+        pc_rgb=True,
+        rgb_weight=1.0,
+    )
+    model = ModelPointCloud(cfg)
+    batch = _fake_batch(cfg)
+    B, V = batch["masks"].shape[:2]
+    batch["images_tgt"] = jnp.broadcast_to(
+        jax.random.uniform(
+            jax.random.PRNGKey(7),
+            (B, V, cfg.image_size, cfg.image_size, 3),
+        ),
+        (B, V, cfg.image_size, cfg.image_size, 3),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch["image"])
+
+    def loss_fn(p):
+        preds = model.apply(p, batch["image"])
+        loss, m = compute_loss(
+            cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        return loss, m
+
+    (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert jnp.isfinite(loss) and "loss_rgb" in m
+    leaves = jax.tree.leaves(grads)
+    assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
