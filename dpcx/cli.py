@@ -117,7 +117,12 @@ def main(argv=None) -> None:
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-f", "--config", default=None)
-        sp.add_argument("-n", "--num-models", type=int, default=200)
+        # convert defaults to NO limit — silently converting only the
+        # first 200 models of a real dataset would be a trap
+        sp.add_argument(
+            "-n", "--num-models", type=int,
+            default=0 if name == "convert" else 200,
+        )
         sp.add_argument("--steps", type=int, default=0)
         sp.add_argument("-o", "--out", default="predictions.npz")
         if name == "convert":

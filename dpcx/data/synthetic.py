@@ -275,7 +275,9 @@ def make_dataset(
     generates only the strided slice ``process_index::process_count`` of
     the model list — same per-model keys/categories as a single host (the
     global PRNG split happens before slicing), so shards from P hosts
-    concatenate to exactly the 1-host dataset. Defaults read
+    INTERLEAVE (shard p holds models p, p+P, p+2P, ...) back to exactly
+    the 1-host dataset; plain concatenation permutes model order.
+    Defaults read
     ``jax.process_index()/count()``; pass explicitly to test without a
     cluster.
     """

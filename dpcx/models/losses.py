@@ -35,6 +35,14 @@ from dpcx.render.project import (
 from dpcx.render.voxelize import pc_point_dropout_weights
 
 
+def _resolve_splat(cfg: Config) -> str:
+    """cfg.xla_splat == 'auto' -> the MXU matmul form on TPU, the scatter
+    oracle elsewhere (single source of the policy for every loss path)."""
+    if cfg.xla_splat != "auto":
+        return cfg.xla_splat
+    return "matmul" if jax.default_backend() == "tpu" else "scatter"
+
+
 def _render_silhouettes(
     cfg: Config,
     points: jax.Array,
@@ -44,9 +52,7 @@ def _render_silhouettes(
     translation: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """points [M, N, 3], quats [M, 4] -> sil [M, D, D], depth or None."""
-    splat = cfg.xla_splat
-    if splat == "auto":
-        splat = "matmul" if jax.default_backend() == "tpu" else "scatter"
+    splat = _resolve_splat(cfg)
     out = pointcloud_project_fn(
         cfg,
         points,
@@ -202,67 +208,78 @@ def compute_loss(
             trans = jnp.broadcast_to(
                 preds["translation"][:, :, None, :], (B, K, V, 3)
             ).reshape(B * K * V, 3)
-        sil, depth = _render_silhouettes(
-            cfg, pts, q_full.reshape(B * K * V, 4), sigma_rel, pw,
-            translation=trans,
+        use_rgb = (
+            cfg.pc_rgb
+            and "rgb" in preds
+            and "images_tgt" in batch
+            and cfg.rgb_weight > 0
         )
+        if use_rgb:
+            # Color re-projection for EVERY candidate, in the same render
+            # call as the silhouettes, and the rgb error participates in
+            # the hard-min SELECTION. This is what resolves near-mirror-
+            # symmetric categories (cars/airplanes): their silhouettes
+            # admit flipped pose gauges, so a silhouette-only argmin is a
+            # coin flip between modes and rgb-through-the-winner merely
+            # adds noise; textures are not mirror-symmetric, so the
+            # combined argmin consistently picks the right mode.
+            rgb_k = jnp.broadcast_to(
+                preds["rgb"][:, None, None], (B, K, V, N, 3)
+            ).reshape(B * K * V, N, 3)
+            out = pointcloud_project_fn(
+                cfg,
+                pts,
+                q_full.reshape(B * K * V, 4),
+                sigma_rel,
+                point_weights=pw,
+                rgb=rgb_k,
+                translation=trans,
+                splat=_resolve_splat(cfg),
+            )
+            sil, depth = out.silhouette, out.depth
+            rgb_proj = out.rgb.reshape(B, K, V, D, D, 3)
+        else:
+            sil, depth = _render_silhouettes(
+                cfg, pts, q_full.reshape(B * K * V, 4), sigma_rel, pw,
+                translation=trans,
+            )
+            rgb_proj = None
         sil = sil.reshape(B, K, V, D, D)
         # per-sample per-candidate loss, averaged over views+pixels
         l_k = jnp.mean((sil - masks[:, None]) ** 2, axis=(2, 3, 4))  # [B, K]
-        k_star = jnp.argmin(l_k, axis=1)  # [B]
+        comb_k = cfg.proj_weight * l_k
+        rgb_l_k = None
+        if use_rgb:
+            tgt = jax.image.resize(
+                batch["images_tgt"], (B, V, D, D, 3), method="bilinear"
+            )
+            # background-composite to match the targets (see GT branch)
+            rgb_cmp = rgb_proj + (
+                1.0 - sil[..., None]
+            ) * cfg.rgb_background
+            w = masks[:, None, :, :, :, None]  # [B, 1, V, D, D, 1]
+            denom = jnp.maximum(
+                jnp.sum(w, axis=(2, 3, 4, 5)) * 3.0, 1.0
+            )  # [B, 1]
+            rgb_l_k = (
+                jnp.sum(
+                    w * (rgb_cmp - tgt[:, None]) ** 2, axis=(2, 3, 4, 5)
+                )
+                / denom
+            )  # [B, K]
+            comb_k = comb_k + cfg.rgb_weight * rgb_l_k
+        k_star = jnp.argmin(comb_k, axis=1)  # [B]
         proj_loss = jnp.mean(
             jnp.take_along_axis(l_k, k_star[:, None], axis=1)
         )
         total = total + cfg.proj_weight * proj_loss
         metrics["loss_proj"] = proj_loss
-        metrics["cand_spread"] = jnp.mean(l_k.max(axis=1) - l_k.min(axis=1))
-        if (
-            cfg.pc_rgb
-            and "rgb" in preds
-            and "images_tgt" in batch
-            and cfg.rgb_weight > 0
-        ):
-            # Color re-projection through the WINNING candidate only (the
-            # hard-min already gates silhouette gradients to the winner;
-            # rendering rgb for all K would cost K renders for gradients
-            # the min would discard anyway). For near-mirror-symmetric
-            # categories the silhouette admits flipped pose gauges that
-            # textures do not — this term is what makes the pose lock.
-            q_win = jnp.take_along_axis(
-                q_full, k_star[:, None, None, None], axis=1
-            ).squeeze(1)  # [B, V, 4]
-            t_win = None
-            if "translation" in preds:
-                t_win = jnp.repeat(
-                    jnp.take_along_axis(
-                        preds["translation"], k_star[:, None, None], axis=1
-                    ).squeeze(1),
-                    V,
-                    axis=0,
-                )
-            out = pointcloud_project_fn(
-                cfg,
-                jnp.repeat(points, V, axis=0),
-                q_win.reshape(B * V, 4),
-                sigma_rel,
-                point_weights=(
-                    None
-                    if point_weights is None
-                    else jnp.repeat(point_weights, V, axis=0)
-                ),
-                rgb=jnp.repeat(preds["rgb"], V, axis=0),
-                translation=t_win,
-            )
-            tgt = jax.image.resize(
-                batch["images_tgt"], (B, V, D, D, 3), method="bilinear"
-            )
-            # background-composite to match the targets (see GT branch)
-            rgb_proj = out.rgb.reshape(B, V, D, D, 3) + (
-                1.0 - out.silhouette.reshape(B, V, D, D)[..., None]
-            ) * cfg.rgb_background
-            w = masks[..., None]
-            rgb_loss = jnp.sum(w * (rgb_proj - tgt) ** 2) / jnp.maximum(
-                jnp.sum(w) * 3.0, 1.0
+        metrics["cand_spread"] = jnp.mean(
+            comb_k.max(axis=1) - comb_k.min(axis=1)
+        )
+        if use_rgb:
+            rgb_loss = jnp.mean(
+                jnp.take_along_axis(rgb_l_k, k_star[:, None], axis=1)
             )
             total = total + cfg.rgb_weight * rgb_loss
             metrics["loss_rgb"] = rgb_loss

@@ -67,10 +67,9 @@ def _skips():
     return _blocked.DEBUG_SKIP
 
 
-def _iota_f32(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
-        jnp.float32
-    )
+# trilinear hat weights / derivatives / f32 iota are shared with the
+# depth-blocked kernel — single source of the splat-weight definition
+from dpcx.render.pallas_blocked import _dhat_t, _hat_t, _iota_f32  # noqa: E402
 
 
 def _fused_kernel(
@@ -117,9 +116,7 @@ def _fused_kernel(
     cell_sub = _iota_f32((D, 1), 0)                      # [D, 1]
     row_z = jnp.floor(_iota_f32((G * D, 1), 0) / D)      # [G*D, 1]
 
-    def hat_t(cells_col, coord_row):
-        # [R, 1] cell ids x [1, C] coords -> [R, C] hat weights
-        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_row - cells_col))
+    hat_t = _hat_t  # [R, 1] cell ids x [1, C] coords -> [R, C] weights
 
     kmat = kmat_ref[:].astype(acc_dtype)       # [D, D]
     kronA = kronA_ref[:].astype(acc_dtype)     # [Gb*D, Gb*D]
@@ -305,16 +302,7 @@ def _fused_bwd_kernel(
     cell_sub = _iota_f32((D, 1), 0)                      # [D, 1]
     row_z = jnp.floor(_iota_f32((G * D, 1), 0) / D)      # [G*D, 1]
 
-    def hat_t(cells_col, coord_row):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(coord_row - cells_col))
-
-    def dhat_t(cells_col, coord_row):
-        # d/d(coord) relu(1 - |coord - cell|) = -sign(coord - cell) inside
-        # the support, 0 outside
-        diff = coord_row - cells_col
-        return jnp.where(
-            jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0
-        )
+    hat_t, dhat_t = _hat_t, _dhat_t
 
     kmat = kmat_ref[:].astype(acc_dtype)
     kronA = kronA_ref[:].astype(acc_dtype)
@@ -868,8 +856,9 @@ def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
     """Backward: handwritten Pallas kernel for D <= 64 (whole grid in
     VMEM) or the two-pass depth-blocked kernel for D > 64 — no XLA
     fallback at any shipped shape. Cotangents come back in sorted order
-    and are un-sorted with one gather here (the forward pays no gather
-    at all).
+    and are un-sorted here by a multi-operand lax.sort keyed on the saved
+    `order` (a permutation sorts back to identity) — no gather on either
+    the forward or backward path.
 
     NOTE: the cotangent for kmat (i.e. for the blur sigma) is ZERO on the
     kernel path — the sigma anneal is a schedule, not a learned parameter.

@@ -37,11 +37,15 @@ p.add_argument("--student-weight", type=float, default=5.0)
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
-               help="color re-projection loss through the winning "
-                    "candidate (breaks silhouette-symmetric pose gauges)")
+               help="color re-projection for every candidate, entering "
+                    "the hard-min SELECTION (breaks silhouette-symmetric "
+                    "pose gauges that a mask-only argmin cannot)")
 p.add_argument("--rgb-weight", type=float, default=1.0)
 p.add_argument("--vox", type=int, default=32)
 p.add_argument("--points", type=int, default=2048)
+p.add_argument("--host-data", action="store_true",
+               help="host-fed batches (the device-resident scan with the "
+                    "K-rgb graph at 1500+ models crashes the TPU worker)")
 args = p.parse_args()
 
 cfg = Config(
@@ -73,7 +77,7 @@ cfg = Config(
     rgb_weight=args.rgb_weight,
     renderer="pallas",
     pallas_acc_dtype="bfloat16",
-    device_data=True,
+    device_data=not args.host_data,
     log_every=1000,
     save_every=10**9,
     eval_every=10000,

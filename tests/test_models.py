@@ -254,8 +254,9 @@ def test_canonical_alignment_refinement_recovers_offset():
 
 
 def test_pose_rgb_loss_runs_and_grads():
-    """predicted-pose + pc_rgb: color re-projection through the winning
-    candidate contributes a finite loss and gradients to the rgb head."""
+    """predicted-pose + pc_rgb: color is rendered for EVERY candidate,
+    enters the hard-min selection, and contributes a finite loss and
+    gradients to the rgb head."""
     cfg = TINY.replace(
         predict_pose=True,
         pose_predict_num_candidates=2,
