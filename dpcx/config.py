@@ -101,6 +101,11 @@ class Config:
     dataset: str = "synthetic"         # synthetic | npz
     data_dir: str = "data"
     mask_size: int = 64                # projection/mask resolution (== D)
+    remat: bool = False                # jax.checkpoint the loss forward:
+                                       # recompute render residuals in the
+                                       # backward instead of storing them
+                                       # (HBM relief for big K-render
+                                       # graphs at ~1.3x step cost)
     device_data: bool = True           # keep the dataset device-resident and
                                        # sample batches inside the jitted
                                        # scan (zero host work per step);

@@ -66,6 +66,8 @@ def train_step(
             cfg, preds, batch, state.step, step_key, train=True
         )
 
+    if cfg.remat:
+        loss_fn = jax.checkpoint(loss_fn)
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
@@ -107,16 +109,28 @@ def train_steps_scan(
         perm = jnp.argsort(
             jax.random.uniform(k_tgt, (B, V)), axis=1
         )[:, :V_use]
+
+        # flat 1-D takes on an [M*V, ...] view instead of broadcasted 2-D
+        # fancy indexing: identical semantics, and the simpler gather
+        # lowering avoids a TPU-worker fault observed with the broadcast
+        # form on larger record tables (NOTES.md)
+        def take_mv(arr, rows):  # rows [B] or [B, V_use] of m*V+v
+            flatr = rows.reshape(-1)
+            out = arr.reshape((M * V,) + arr.shape[2:])[flatr]
+            return out.reshape(rows.shape + arr.shape[2:])
+
+        rows_in = m * V + v_in
+        rows_tgt = m[:, None] * V + perm
         batch = {
-            "image": records["images"][m, v_in],
-            "masks": records["masks"][m[:, None], perm],
-            "depths": records["depths"][m[:, None], perm],
-            "quats": records["quats"][m[:, None], perm],
+            "image": take_mv(records["images"], rows_in),
+            "masks": take_mv(records["masks"], rows_tgt),
+            "depths": take_mv(records["depths"], rows_tgt),
+            "quats": take_mv(records["quats"], rows_tgt),
         }
         if cfg.predict_pose:
-            batch["quat_in"] = records["quats"][m, v_in]
+            batch["quat_in"] = take_mv(records["quats"], rows_in)
         if cfg.pc_rgb:
-            batch["images_tgt"] = records["images"][m[:, None], perm]
+            batch["images_tgt"] = take_mv(records["images"], rows_tgt)
 
         def loss_fn(params):
             preds = state.apply_fn(params, batch["image"])
@@ -124,6 +138,8 @@ def train_steps_scan(
                 cfg, preds, batch, state.step, k_drop, train=True
             )
 
+        if cfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
@@ -194,16 +210,26 @@ def train_steps_scan_dp(
             v_in = jax.lax.dynamic_slice_in_dim(v_in, sl, B_local)
             perm = jax.lax.dynamic_slice_in_dim(perm, sl, B_local)
             k_drop = jax.random.fold_in(k_drop, di)
+
+            # flat 1-D takes (see train_steps_scan: the broadcast 2-D
+            # fancy-gather faults the TPU worker on larger record tables)
+            def take_mv(arr, rows):
+                flatr = rows.reshape(-1)
+                out = arr.reshape((M * V,) + arr.shape[2:])[flatr]
+                return out.reshape(rows.shape + arr.shape[2:])
+
+            rows_in = m * V + v_in
+            rows_tgt = m[:, None] * V + perm
             batch = {
-                "image": records["images"][m, v_in],
-                "masks": records["masks"][m[:, None], perm],
-                "depths": records["depths"][m[:, None], perm],
-                "quats": records["quats"][m[:, None], perm],
+                "image": take_mv(records["images"], rows_in),
+                "masks": take_mv(records["masks"], rows_tgt),
+                "depths": take_mv(records["depths"], rows_tgt),
+                "quats": take_mv(records["quats"], rows_tgt),
             }
             if cfg.predict_pose:
-                batch["quat_in"] = records["quats"][m, v_in]
+                batch["quat_in"] = take_mv(records["quats"], rows_in)
             if cfg.pc_rgb:
-                batch["images_tgt"] = records["images"][m[:, None], perm]
+                batch["images_tgt"] = take_mv(records["images"], rows_tgt)
 
             def loss_fn(params):
                 preds = state.apply_fn(params, batch["image"])
@@ -211,6 +237,8 @@ def train_steps_scan_dp(
                     cfg, preds, batch, state.step, k_drop, train=True
                 )
 
+            if cfg.remat:
+                loss_fn = jax.checkpoint(loss_fn)
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)

@@ -43,6 +43,10 @@ p.add_argument("--rgb", action="store_true",
 p.add_argument("--rgb-weight", type=float, default=1.0)
 p.add_argument("--vox", type=int, default=32)
 p.add_argument("--points", type=int, default=2048)
+p.add_argument("--remat", action="store_true",
+               help="jax.checkpoint the loss (HBM relief for the K-rgb "
+                    "graph under the device-resident scan)")
+p.add_argument("--log-every", type=int, default=1000)
 p.add_argument("--host-data", action="store_true",
                help="host-fed batches (the device-resident scan with the "
                     "K-rgb graph at 1500+ models crashes the TPU worker)")
@@ -78,7 +82,8 @@ cfg = Config(
     renderer="pallas",
     pallas_acc_dtype="bfloat16",
     device_data=not args.host_data,
-    log_every=1000,
+    remat=args.remat,
+    log_every=args.log_every,
     save_every=10**9,
     eval_every=10000,
 )
