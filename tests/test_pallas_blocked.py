@@ -147,3 +147,29 @@ def test_blocked_gradient_through_dispatch():
     g_p = jax.grad(lambda p: loss(cfg_p, p))(pts)
     g_x = jax.grad(lambda p: loss(cfg_x, p))(pts)
     np.testing.assert_allclose(g_p, g_x, atol=1e-5)
+
+
+def test_blocked_backward_saved_grid_matches_recompute():
+    """blocked_backward with the forward's saved blurred volume (the VJP
+    residual path) produces the SAME gradients as the recompute path —
+    per-block interiors loaded from HBM must be bit-equivalent (f32 acc)
+    to re-splat+re-blur."""
+    D, R, B, N = 16, 2, 2, 256
+    st = _sorted_coords(jax.random.PRNGKey(5), D, B, N, 0.45)
+    kmat = blur_matrix(jnp.asarray(0.06) * D, D, R)
+    ds = jax.random.normal(jax.random.PRNGKey(6), (B, D, D))
+    dd = jax.random.normal(jax.random.PRNGKey(7), (B, D, D))
+    sil, dep, grid = blocked_forward(
+        st, kmat, D, R, True, "float32", True, save_grid=True
+    )
+    sil2, dep2 = blocked_forward(st, kmat, D, R, True, "float32", True)
+    np.testing.assert_allclose(sil, sil2, atol=1e-6)
+    d_saved = blocked_backward(
+        st, kmat, ds, dd, D, R, True, "float32", True, grid=grid
+    )
+    d_recomp = blocked_backward(
+        st, kmat, ds, dd, D, R, True, "float32", True
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_saved), np.asarray(d_recomp), atol=1e-5
+    )
