@@ -77,6 +77,13 @@ class Config:
 
     # --- losses ---
     proj_weight: float = 1.0
+    # normalize the per-candidate silhouette and rgb error scales (each by
+    # its stop-gradient batch mean) before the hard-min argmin, so the
+    # SELECTION weighs both signals O(1) regardless of raw magnitudes.
+    # Without this the raw sum is dominated by whichever term is larger
+    # and late-training winner flips were observed (rgb-in-selection car
+    # runs, round 2); the LOSS values themselves are unchanged.
+    rgb_sel_normalize: bool = True
     drc_weight: float = 0.0            # depth-projection loss weight
     scale_weight: float = 0.0          # scale regularizer
     rgb_weight: float = 1.0            # color re-projection loss (pc_rgb)
@@ -99,6 +106,14 @@ class Config:
 
     # --- data ---
     dataset: str = "synthetic"         # synthetic | npz
+    # synthetic-datagen texture: "stripes" = per-part palette x high-freq
+    # procedural stripes (~30+ cycles across the object — at/above Nyquist
+    # when the rgb loss compares at mask resolution D=32, so the
+    # symmetry-breaking signal mostly aliases away); "lowfreq" = per-part
+    # palette blended with a two-tone front/back split (<1 cycle, survives
+    # any loss resolution — the control for whether rgb-in-selection can
+    # break silhouette-mirror pose gauges)
+    texture_mode: str = "stripes"
     data_dir: str = "data"
     mask_size: int = 64                # projection/mask resolution (== D)
     remat: bool = False                # jax.checkpoint the loss forward:

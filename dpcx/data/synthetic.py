@@ -212,11 +212,33 @@ def make_model(
 
     # --- textured RGB appearance ---
     palette = jax.random.uniform(kc, (8, 3), minval=0.15, maxval=0.95)
-    stripe_dir = jax.random.normal(kt, (3,))
-    stripes = 0.85 + 0.15 * jnp.sin(
-        40.0 * points @ (stripe_dir / jnp.linalg.norm(stripe_dir))
-    )
-    albedo = palette[box_idx % 8] * stripes[:, None]  # [N, 3]
+    if cfg.texture_mode == "lowfreq":
+        # Two-tone front/back albedo split (<1 cycle across the object):
+        # the pose-identifiability control (VERDICT r2 item 2). The
+        # problematic unsupervised-pose gauge is a ~180-deg flip about the
+        # vertical axis ((x, z) -> (-x, -z)); a front/back color split is
+        # anti-symmetric under exactly that flip, and at <1 spatial cycle
+        # it SURVIVES the resize to mask resolution where the rgb loss
+        # compares (the round-2 stripes were ~30+ cycles — aliased away
+        # at D=32). Soft sigmoid edge; split axis mostly +z with a random
+        # tilt so models are not all split identically.
+        kd, kf, kb = jax.random.split(kt, 3)
+        tilt = 0.35 * jax.random.normal(kd, (2,))
+        axis = jnp.asarray([tilt[0], tilt[1], 1.0])
+        axis = axis / jnp.linalg.norm(axis)
+        t = jax.nn.sigmoid((points @ axis) / 0.06)[:, None]  # [N, 1]
+        front = jax.random.uniform(kf, (3,), minval=0.55, maxval=0.95)
+        back = jax.random.uniform(kb, (3,), minval=0.05, maxval=0.45)
+        # shuffle which channels are bright per half so hue, not just
+        # brightness, separates the halves
+        two_tone = t * front + (1.0 - t) * back[::-1]
+        albedo = 0.4 * palette[box_idx % 8] + 0.6 * two_tone  # [N, 3]
+    else:
+        stripe_dir = jax.random.normal(kt, (3,))
+        stripes = 0.85 + 0.15 * jnp.sin(
+            40.0 * points @ (stripe_dir / jnp.linalg.norm(stripe_dir))
+        )
+        albedo = palette[box_idx % 8] * stripes[:, None]  # [N, 3]
     # per-view lambertian shading: headlight-ish lamp fixed in CAMERA
     # space, rotated into the world frame per view
     from dpcx.geometry.quaternion import (

@@ -65,6 +65,28 @@ def _render_silhouettes(
     return out.silhouette, out.depth
 
 
+def candidate_scores(
+    cfg: Config, l_k: jax.Array, rgb_l_k: jax.Array | None
+) -> jax.Array:
+    """Per-candidate SELECTION score [B, K] for the hard-min argmin.
+
+    With rgb and cfg.rgb_sel_normalize, each error is normalized by its
+    stop-gradient batch mean so the argmin weighs silhouette and color
+    O(1) each, independent of raw scales — the raw weighted sum let the
+    larger term dominate and the winner flipped late in training
+    (round-2 car rgb runs). Loss VALUES are unaffected; only the argmin
+    input changes.
+    """
+    if rgb_l_k is None:
+        return cfg.proj_weight * l_k
+    if cfg.rgb_sel_normalize:
+        sg = jax.lax.stop_gradient
+        return l_k / (sg(jnp.mean(l_k)) + 1e-8) + rgb_l_k / (
+            sg(jnp.mean(rgb_l_k)) + 1e-8
+        )
+    return cfg.proj_weight * l_k + cfg.rgb_weight * rgb_l_k
+
+
 def _masked_depth_loss(
     depth: jax.Array, gt_depth: jax.Array, gt_mask: jax.Array
 ) -> jax.Array:
@@ -247,7 +269,6 @@ def compute_loss(
         sil = sil.reshape(B, K, V, D, D)
         # per-sample per-candidate loss, averaged over views+pixels
         l_k = jnp.mean((sil - masks[:, None]) ** 2, axis=(2, 3, 4))  # [B, K]
-        comb_k = cfg.proj_weight * l_k
         rgb_l_k = None
         if use_rgb:
             tgt = jax.image.resize(
@@ -267,7 +288,7 @@ def compute_loss(
                 )
                 / denom
             )  # [B, K]
-            comb_k = comb_k + cfg.rgb_weight * rgb_l_k
+        comb_k = candidate_scores(cfg, l_k, rgb_l_k)
         k_star = jnp.argmin(comb_k, axis=1)  # [B]
         proj_loss = jnp.mean(
             jnp.take_along_axis(l_k, k_star[:, None], axis=1)

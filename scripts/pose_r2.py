@@ -41,6 +41,12 @@ p.add_argument("--rgb", action="store_true",
                     "the hard-min SELECTION (breaks silhouette-symmetric "
                     "pose gauges that a mask-only argmin cannot)")
 p.add_argument("--rgb-weight", type=float, default=1.0)
+p.add_argument("--texture", default="stripes",
+               help="datagen texture mode: stripes (round-2 high-freq, "
+                    "aliases away at mask resolution) | lowfreq (two-tone "
+                    "front/back split — the resolution control)")
+p.add_argument("--raw-selection", action="store_true",
+               help="disable rgb_sel_normalize (round-2 raw-sum argmin)")
 p.add_argument("--vox", type=int, default=32)
 p.add_argument("--points", type=int, default=2048)
 p.add_argument("--remat", action="store_true",
@@ -79,6 +85,8 @@ cfg = Config(
     pose_student_weight=args.student_weight,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
+    texture_mode=args.texture,
+    rgb_sel_normalize=not args.raw_selection,
     renderer="pallas",
     pallas_acc_dtype="bfloat16",
     device_data=not args.host_data,

@@ -112,3 +112,28 @@ def test_multihost_datagen_sharding():
                                    np.asarray(p0[k]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(full[k][1::2]),
                                    np.asarray(p1[k]), atol=1e-6)
+
+
+def test_lowfreq_texture_mode():
+    """texture_mode='lowfreq': two-tone front/back albedo, <1 cycle across
+    the object, so the color signal SURVIVES a resize to mask resolution
+    (the round-2 stripes aliased away at D=32 — VERDICT r2 item 2)."""
+    cfg = CFG.replace(texture_mode="lowfreq")
+    rec = make_model(jax.random.PRNGKey(1), cfg, "car", gt_points=800)
+    rec_s = make_model(jax.random.PRNGKey(1), CFG, "car", gt_points=800)
+    img = np.asarray(rec["images"])
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
+    # geometry (masks/depths) is texture-independent
+    np.testing.assert_allclose(rec["masks"], rec_s["masks"])
+    assert np.abs(img - np.asarray(rec_s["images"])).max() > 0.05
+    # the two-tone signal survives downsampling to mask resolution: the
+    # foreground of the 32x32 image is far from monochrome
+    img32 = np.asarray(
+        jax.image.resize(
+            rec["images"], (CFG.num_views, 32, 32, 3), "bilinear"
+        )
+    )
+    fg = img32[img32.min(axis=-1) < 0.85]  # non-white-background pixels
+    assert fg.shape[0] > 20
+    assert fg.std(axis=0).max() > 0.05

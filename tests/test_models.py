@@ -286,3 +286,27 @@ def test_pose_rgb_loss_runs_and_grads():
     assert jnp.isfinite(loss) and "loss_rgb" in m
     leaves = jax.tree.leaves(grads)
     assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
+
+
+def test_candidate_scores_normalization():
+    """rgb_sel_normalize: the SELECTION weighs sil and rgb errors O(1)
+    each regardless of raw scales; the raw-sum mode keeps old behavior."""
+    from dpcx.models.losses import candidate_scores
+
+    cfg = TINY.replace(predict_pose=True, pc_rgb=True)
+    # sil errors are 100x larger than rgb errors; candidate 0 wins on sil
+    # (barely), candidate 1 wins on rgb (decisively, in relative terms)
+    l_k = jnp.asarray([[1.00, 1.05]])
+    rgb_l_k = jnp.asarray([[0.02, 0.001]])
+    raw = candidate_scores(
+        cfg.replace(rgb_sel_normalize=False), l_k, rgb_l_k
+    )
+    norm = candidate_scores(
+        cfg.replace(rgb_sel_normalize=True), l_k, rgb_l_k
+    )
+    assert int(jnp.argmin(raw, axis=1)[0]) == 0  # sil magnitude dominates
+    assert int(jnp.argmin(norm, axis=1)[0]) == 1  # rgb signal counts
+    # without rgb the score is just the weighted sil error
+    np.testing.assert_allclose(
+        candidate_scores(cfg, l_k, None), cfg.proj_weight * l_k
+    )
