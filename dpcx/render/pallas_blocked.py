@@ -708,9 +708,15 @@ def blocked_forward(
     save_grid: bool = False,
 ):
     """-> (sil, depth) or, with ``save_grid``, (sil, depth, grid) where
-    grid [B, D, D, D] is the blurred occupancy volume in the acc dtype —
-    the VJP residual that lets blocked_backward skip both of its
-    splat+blur recomputes (HBM: D=128 f32 is 8 MB/sample; bf16 half)."""
+    grid [B, D, D, D] is the blurred occupancy volume — the VJP residual
+    that lets blocked_backward skip both of its splat+blur recomputes
+    (HBM: D=128 is 8 MB/sample). The residual is ALWAYS float32, even in
+    bf16 perf mode: the backward's (total-prefix)/(1-o) identity
+    amplifies residual rounding by up to ~1/(1-o) ~ 1e5 near o -> 1, so
+    a bf16-rounded residual would diverge from the recompute path
+    (which stores the grid in f32 VMEM scratch) exactly where it
+    matters. Memory-constrained runs gate saving off entirely
+    (cfg.remat) rather than rounding the residual."""
     sorted_t = _pad_points(sorted_t, vox)
     B, _, N = sorted_t.shape
     D = vox
@@ -736,7 +742,7 @@ def blocked_forward(
                 memory_space=pltpu.VMEM,
             )
         )
-        out_shapes.append(jax.ShapeDtypeStruct((B, D, D, D), kdt))
+        out_shapes.append(jax.ShapeDtypeStruct((B, D, D, D), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B, D // p["Dz"]),

@@ -821,10 +821,10 @@ def _forward_dispatch(sorted_t, kmat, vox, radius, with_depth, acc_dtype,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7)
 )
 def _fused_render(coords_t, kmat, vox, radius, with_depth, acc_dtype,
-                  interpret):
+                  interpret, save_grid):
     sorted_t, _ = _sort_with_order(coords_t, with_order=False)
     return _forward_dispatch(
         sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
@@ -832,27 +832,37 @@ def _fused_render(coords_t, kmat, vox, radius, with_depth, acc_dtype,
 
 
 def _fused_fwd(coords_t, kmat, vox, radius, with_depth, acc_dtype,
-               interpret):
+               interpret, save_grid):
     sorted_t, order = _sort_with_order(coords_t)
     if vox <= 64:
         out = _pallas_forward(
             sorted_t, kmat, vox, with_depth, acc_dtype, interpret
         )
         grid = None
-    else:
+    elif save_grid:
         from dpcx.render.pallas_blocked import blocked_forward
 
         # save the blurred volume as the VJP residual so the two-pass
-        # backward never re-splats/re-blurs (HBM trade, NOTES.md)
+        # backward never re-splats/re-blurs (HBM trade: 8 MB/sample f32
+        # at 128^3, held from forward to backward — gate off via
+        # cfg.remat for memory-constrained K-candidate graphs)
         sil, depth, grid = blocked_forward(
             sorted_t, kmat, vox, radius, with_depth, acc_dtype,
             interpret, save_grid=True,
         )
         out = (sil, depth)
+    else:
+        from dpcx.render.pallas_blocked import blocked_forward
+
+        out = blocked_forward(
+            sorted_t, kmat, vox, radius, with_depth, acc_dtype, interpret
+        )
+        grid = None
     return out, (sorted_t, order, kmat, grid)
 
 
-def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, res, cts):
+def _fused_bwd(vox, radius, with_depth, acc_dtype, interpret, save_grid,
+               res, cts):
     """Backward: handwritten Pallas kernel for D <= 64 (whole grid in
     VMEM) or the two-pass depth-blocked kernel for D > 64 — no XLA
     fallback at any shipped shape. Cotangents come back in sorted order
@@ -906,6 +916,7 @@ def pallas_project(
     with_depth: bool = False,
     acc_dtype: str = "float32",
     interpret: bool | None = None,
+    save_grid: bool = True,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Fused splat->blur->DRC. points_ndc [B, N, 3] -> sil [B, D, D].
 
@@ -922,6 +933,7 @@ def pallas_project(
         with_depth=with_depth,
         acc_dtype=acc_dtype,
         interpret=interpret,
+        save_grid=save_grid,
     )
 
 
@@ -934,6 +946,7 @@ def pallas_project_t(
     with_depth: bool = False,
     acc_dtype: str = "float32",
     interpret: bool | None = None,
+    save_grid: bool = True,
 ) -> tuple[jax.Array, jax.Array | None]:
     """CHANNEL-MAJOR fused projection: ndc_t [B, 3, N] (rows x, y, z_ndc,
     from pc_perspective_transform_t) -> sil [B, D, D].
@@ -964,8 +977,12 @@ def pallas_project_t(
         pad = pad.at[:, 0, :].set(4.0 * vox_size)
         coords_t = jnp.concatenate([coords_t, pad], axis=2)
     kmat = blur_matrix(sigma_vox, vox_size, kernel_radius)
+    # save_grid: D > 64 forwards stash the blurred volume in HBM as the
+    # VJP residual (backward skips both recompute passes); False = the
+    # recompute backward (memory-constrained runs; tied to cfg.remat at
+    # the model layer). No effect at D <= 64 (whole grid lives in VMEM).
     sil, depth = _fused_render(
         coords_t, kmat, vox_size, kernel_radius, with_depth, acc_dtype,
-        interpret,
+        interpret, save_grid,
     )
     return sil, (depth if with_depth else None)

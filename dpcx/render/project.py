@@ -137,6 +137,10 @@ def pointcloud_project_fn(
             point_weights=point_weights,
             with_depth=cfg.proj_depth,
             acc_dtype=cfg.pallas_acc_dtype,
+            # remat = recompute render residuals in the backward: at
+            # D > 64 that means the recompute two-pass backward instead
+            # of stashing the 8 MB/sample blurred volume in HBM
+            save_grid=not cfg.remat,
         )
         return RenderOut(silhouette=sil, depth=depth)
 

@@ -149,27 +149,58 @@ def test_blocked_gradient_through_dispatch():
     np.testing.assert_allclose(g_p, g_x, atol=1e-5)
 
 
-def test_blocked_backward_saved_grid_matches_recompute():
+@pytest.mark.parametrize("acc", ["float32", "bfloat16"])
+def test_blocked_backward_saved_grid_matches_recompute(acc):
     """blocked_backward with the forward's saved blurred volume (the VJP
-    residual path) produces the SAME gradients as the recompute path —
-    per-block interiors loaded from HBM must be bit-equivalent (f32 acc)
-    to re-splat+re-blur."""
+    residual path) produces the SAME gradients as the recompute path.
+    The residual is stored in f32 regardless of acc dtype (the
+    (total-prefix)/(1-o) identity amplifies residual rounding ~1/(1-o)
+    near saturation), so bf16 perf mode — the production 128^3 training
+    dtype — must match its recompute path as tightly as f32 does."""
     D, R, B, N = 16, 2, 2, 256
     st = _sorted_coords(jax.random.PRNGKey(5), D, B, N, 0.45)
     kmat = blur_matrix(jnp.asarray(0.06) * D, D, R)
     ds = jax.random.normal(jax.random.PRNGKey(6), (B, D, D))
     dd = jax.random.normal(jax.random.PRNGKey(7), (B, D, D))
     sil, dep, grid = blocked_forward(
-        st, kmat, D, R, True, "float32", True, save_grid=True
+        st, kmat, D, R, True, acc, True, save_grid=True
     )
-    sil2, dep2 = blocked_forward(st, kmat, D, R, True, "float32", True)
+    assert grid.dtype == jnp.float32  # residual never bf16-rounded
+    sil2, dep2 = blocked_forward(st, kmat, D, R, True, acc, True)
     np.testing.assert_allclose(sil, sil2, atol=1e-6)
     d_saved = blocked_backward(
-        st, kmat, ds, dd, D, R, True, "float32", True, grid=grid
+        st, kmat, ds, dd, D, R, True, acc, True, grid=grid
     )
     d_recomp = blocked_backward(
-        st, kmat, ds, dd, D, R, True, "float32", True
+        st, kmat, ds, dd, D, R, True, acc, True
     )
     np.testing.assert_allclose(
         np.asarray(d_saved), np.asarray(d_recomp), atol=1e-5
+    )
+
+
+def test_save_grid_gate_matches_saved_path():
+    """pallas_project with save_grid=False (the cfg.remat path) takes the
+    recompute backward through the custom VJP dispatch and must produce
+    the same values+grads as the default saved-residual path."""
+    from dpcx.render.pallas_kernel import pallas_project
+
+    D, B, N = 72, 2, 192  # > 64 -> blocked kernel
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(3), (B, N, 3), minval=-0.45, maxval=0.45
+    )
+    sigma = jnp.asarray(0.05) * D
+    tgt = jax.random.uniform(jax.random.PRNGKey(4), (B, D, D))
+
+    def loss(p, save):
+        s, _ = pallas_project(
+            p, D, sigma, 3, interpret=True, save_grid=save
+        )
+        return jnp.mean((s - tgt) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(pts)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, False))(pts)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), atol=1e-5
     )
