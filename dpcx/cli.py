@@ -43,14 +43,20 @@ def cmd_eval(args) -> None:
     from dpcx.train import (
         _checkpoint_manager,
         create_state,
+        record_and_check_run_config,
         restore_checkpoint,
     )
 
     cfg = _load_cfg(args)
+    record_and_check_run_config(cfg, write=False)
     state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
     state = restore_checkpoint(_checkpoint_manager(cfg), state)
     ds = load_or_make(cfg, args.num_models, seed=cfg.seed + 1)  # held out
-    metrics = evaluate(cfg, state.params, ds)
+    # --all-views sweeps EVERY view per model and pools predictions — the
+    # reference's predict_eval protocol (stronger statistic than view 0)
+    metrics = evaluate(
+        cfg, state.params, ds, view_idx=None if args.all_views else 0
+    )
     print(json.dumps(metrics))
 
 
@@ -65,7 +71,10 @@ def cmd_predict(args) -> None:
         restore_checkpoint,
     )
 
+    from dpcx.train import record_and_check_run_config
+
     cfg = _load_cfg(args)
+    record_and_check_run_config(cfg, write=False)
     state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
     state = restore_checkpoint(_checkpoint_manager(cfg), state)
     ds = load_or_make(cfg, args.num_models, seed=cfg.seed + 1)
@@ -125,6 +134,11 @@ def main(argv=None) -> None:
         )
         sp.add_argument("--steps", type=int, default=0)
         sp.add_argument("-o", "--out", default="predictions.npz")
+        if name == "eval":
+            sp.add_argument(
+                "--all-views", action="store_true",
+                help="evaluate every view per model (pooled), not view 0",
+            )
         if name == "convert":
             sp.add_argument("-i", "--inp", required=True,
                             help="tfrecord glob pattern")
