@@ -34,6 +34,9 @@ class Config:
     pc_gauss: bool = False
     gauss_scale_min: float = 0.005     # per-axis stddev bounds, NDC units
     gauss_scale_max: float = 0.06
+    gsplat_impl: str = "windowed"      # windowed (per-point windows +
+                                       # matmul-scatter, TPU-fast) | dense
+                                       # (all-cells oracle)
     pc_decoder_hidden: tuple[int, ...] = (1024, 1024, 1024)
 
     # --- encoder (ref: dpc/nets/img_encoder.py) ---

@@ -236,7 +236,40 @@ def compute_loss(
             and "images_tgt" in batch
             and cfg.rgb_weight > 0
         )
-        if use_rgb:
+        use_gauss = cfg.pc_gauss and "gauss_scales" in preds
+
+        def bc(x: jax.Array) -> jax.Array:
+            """[B, ...] -> [B*K*V, ...] candidate/view broadcast."""
+            return jnp.broadcast_to(
+                x[:, None, None], (B, K, V) + x.shape[1:]
+            ).reshape((B * K * V,) + x.shape[1:])
+
+        if use_gauss:
+            # BASELINE config 5 under predicted pose: every candidate view
+            # is rendered with the anisotropic alpha-composited splats, so
+            # the covariance/opacity heads shape the hard-min selection
+            # (and the rgb-in-selection signal) exactly as the isotropic
+            # path does (VERDICT r2 missing 1a)
+            from dpcx.render.gsplat import gsplat_project
+
+            opacity = bc(preds["gauss_opacity"])
+            if pw is not None:
+                opacity = opacity * pw  # point dropout folds into opacity
+            out = gsplat_project(
+                cfg,
+                pts,
+                q_full.reshape(B * K * V, 4),
+                bc(preds["gauss_scales"]),
+                bc(preds["gauss_rot"]),
+                opacity=opacity,
+                rgb=bc(preds["rgb"]) if use_rgb else None,
+                translation=trans,
+            )
+            sil, depth = out.silhouette, out.depth
+            rgb_proj = (
+                out.rgb.reshape(B, K, V, D, D, 3) if use_rgb else None
+            )
+        elif use_rgb:
             # Color re-projection for EVERY candidate, in the same render
             # call as the silhouettes, and the rgb error participates in
             # the hard-min SELECTION. This is what resolves near-mirror-

@@ -183,6 +183,157 @@ def anisotropic_density_grid(
     return density, rgb_grid
 
 
+def anisotropic_density_grid_windowed(
+    points_ndc: jax.Array,     # [B, N, 3]
+    scales_ndc: jax.Array,     # [B, N, 3] stddevs in NDC units
+    rot: jax.Array,            # [B, N, 4] local orientation quats
+    vox_size: int,
+    point_weights: jax.Array | None = None,  # [B, N]
+    rgb: jax.Array | None = None,            # [B, N, 3]
+    chunk: int = 128,
+    max_scale_ndc: float = 0.06,
+    truncate: float = 3.0,
+    remat: bool = True,
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """TPU-fast formulation of `anisotropic_density_grid`.
+
+    The dense form evaluates every Gaussian on all D^3 cells (lax.map over
+    z-slabs, [B, C, D, D] broadcasts — N*D^3 VPU exps). This one exploits
+    the per-point effective radius: each point is evaluated only on a
+    per-point-CENTERED (Wz, Wy, D) window, and both the placement of those
+    windows into the grid and the sum over points ride the MXU as one-hot
+    MATMUL-scatters (TPU has no fast scatter-add; one-hot matmuls are the
+    idiomatic replacement — cf. the splat kernel's windowed matmul,
+    pallas_kernel.py):
+
+      1. VPU: contrib[c, w, v, x] = w_c * exp(-quad) on the window
+         (full quadratic form incl. all cross terms — exact anisotropy),
+      2. MXU (batched over c): y-placement, one-hot [D, Wy] per point,
+      3. MXU: z-placement AND the point reduction in a single
+         [(1+3)*D, C*Wz] @ [C*Wz, D*D] matmul whose rgb rows carry the
+         per-point colors (density and color grid in one pass).
+
+    Work: N * Wz * Wy * D exps instead of N * D^3 — ~5x fewer at D=32
+    with the default window (3 sigma_max at scale_max 0.06), and every
+    reduction that the dense form did as VPU sums runs on the MXU. Windows are clamped inside the
+    grid, so boundary points keep their full in-grid support; mass beyond
+    `truncate` sigma_max of a center is dropped (same semantics family as
+    cfg.gauss_kernel_truncate on the isotropic path). Tested against the
+    dense oracle at fp32 tolerance.
+    """
+    B, N, _ = points_ndc.shape
+    D = vox_size
+    dtype = points_ndc.dtype
+    radius = truncate * max_scale_ndc * D
+    W = min(D, 2 * int(-(-radius // 1)) + 2)  # static window edge
+    mu = ndc_to_grid(points_ndc, D)            # [B, N, 3] (z, y, x)
+    s_vox = scales_ndc * D
+    A = _precision_zyx(s_vox, rot)             # [B, N, 3, 3]
+    norm = (2.0 * jnp.pi) ** (-1.5) / jnp.maximum(
+        jnp.prod(s_vox, axis=-1), 1e-12
+    )
+    w = norm if point_weights is None else norm * point_weights
+    rgb_b = (
+        jnp.ones((B, N, 1), dtype)
+        if rgb is None
+        else jnp.concatenate([jnp.ones((B, N, 1), dtype), rgb], axis=-1)
+    )  # [B, N, K] K=1 (density only) or 4 (density + color rows)
+    K = rgb_b.shape[-1]
+
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        mu = jnp.concatenate(
+            [mu, jnp.full((B, pad, 3), -1e4, dtype)], axis=1
+        )
+        A = jnp.concatenate(
+            [A, jnp.tile(jnp.eye(3, dtype=dtype), (B, pad, 1, 1))], axis=1
+        )
+        w = jnp.concatenate([w, jnp.zeros((B, pad), dtype)], axis=1)
+        rgb_b = jnp.concatenate(
+            [rgb_b, jnp.zeros((B, pad, K), dtype)], axis=1
+        )
+    C = chunk
+    # per-point window starts, clamped in-grid (centers the support;
+    # clamping keeps boundary points' in-grid mass intact)
+    z0 = jnp.clip(jnp.round(mu[..., 0]) - W // 2, 0, D - W).astype(dtype)
+    y0 = jnp.clip(jnp.round(mu[..., 1]) - W // 2, 0, D - W).astype(dtype)
+
+    win = jnp.arange(W, dtype=dtype)
+    cells = jnp.arange(D, dtype=dtype)
+
+    def one_sample(mu_s, A_s, w_s, rgbk_s, z0_s, y0_s):
+        mu_c = mu_s.reshape(n_chunks, C, 3)
+        A_c = A_s.reshape(n_chunks, C, 3, 3)
+        w_c = w_s.reshape(n_chunks, C)
+        rgb_c = rgbk_s.reshape(n_chunks, C, K)
+        z0_c = z0_s.reshape(n_chunks, C)
+        y0_c = y0_s.reshape(n_chunks, C)
+
+        def body(acc, inp):
+            muk, Ak, wk, rgbk, z0k, y0k = inp
+            dz = z0k[:, None] + win - muk[:, None, 0]     # [C, W]
+            dy = y0k[:, None] + win - muk[:, None, 1]     # [C, W]
+            dx = cells - muk[:, None, 2]                   # [C, D]
+            # full PSD quadratic form assembled before the exp (see the
+            # dense oracle for the overflow rationale)
+            t_z = 0.5 * Ak[:, 0, 0, None] * dz**2                 # [C, W]
+            t_y = (
+                0.5 * Ak[:, 1, 1, None] * dy**2
+            )                                                      # [C, W]
+            t_x = 0.5 * Ak[:, 2, 2, None] * dx**2                 # [C, D]
+            zy = Ak[:, 0, 1, None, None] * dz[:, :, None] * dy[:, None, :]
+            zx = Ak[:, 0, 2, None, None] * dz[:, :, None] * dx[:, None, :]
+            yx = Ak[:, 1, 2, None, None] * dy[:, :, None] * dx[:, None, :]
+            quad = (
+                (t_z[:, :, None, None] + t_y[:, None, :, None])
+                + zy[:, :, :, None]
+                + (t_x[:, None, None, :] + zx[:, :, None, :])
+                + yx[:, None, :, :]
+            )  # [C, W, W, D]
+            contrib = wk[:, None, None, None] * jnp.exp(
+                -jnp.maximum(quad, 0.0)
+            )
+            # MXU 1: per-point y-placement (batched one-hot matmul)
+            Sy = (
+                cells[None, :, None] == y0k[:, None, None] + win
+            ).astype(dtype)  # [C, D, W]
+            tmp = jnp.einsum(
+                "cyv,cwvx->cwyx",
+                Sy,
+                contrib,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [C, W, D, D]
+            # MXU 2: z-placement + point reduction + color rows, one matmul
+            Sz = (
+                cells[None, :, None] == z0k[:, None, None] + win
+            ).astype(dtype)  # [C, D(z), W]
+            M = Sz[:, None] * rgbk[:, :, None, None]  # [C, K, D, W]
+            M = jnp.moveaxis(M, (1, 2), (0, 1)).reshape(K * D, C * W)
+            add = jax.lax.dot(
+                M,
+                tmp.reshape(C * W, D * D),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(K, D, D, D)
+            return acc + add, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        init = jnp.zeros((K, D, D, D), dtype)
+        xs = (mu_c, A_c, w_c, rgb_c, z0_c, y0_c)
+        acc, _ = jax.lax.scan(body, init, xs)
+        return acc
+
+    acc = jax.vmap(one_sample)(mu, A, w, rgb_b, z0, y0)  # [B, K, D, D, D]
+    density = acc[:, 0]
+    if rgb is None:
+        return density
+    rgb_grid = jnp.moveaxis(acc[:, 1:], 1, -1) / jnp.maximum(
+        density[..., None], 1e-6
+    )
+    return density, rgb_grid
+
+
 def alpha_from_density(density: jax.Array) -> jax.Array:
     """Exact volumetric compositing transform: alpha = 1 - exp(-density)."""
     return 1.0 - jnp.exp(-density)
@@ -215,9 +366,21 @@ def gsplat_project(
         translation=translation,
     )
     rot_cam = quaternion_multiply(quat[:, None, :], rot)
-    out = anisotropic_density_grid(
-        ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb
-    )
+    if cfg.gsplat_impl == "windowed":
+        out = anisotropic_density_grid_windowed(
+            ndc,
+            scales_ndc,
+            rot_cam,
+            D,
+            point_weights=opacity,
+            rgb=rgb,
+            max_scale_ndc=cfg.gauss_scale_max,
+            remat=cfg.remat,
+        )
+    else:
+        out = anisotropic_density_grid(
+            ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb
+        )
     density, rgb_grid = out if rgb is not None else (out, None)
     alpha = alpha_from_density(density)
     sil, depth = drc_projection(
