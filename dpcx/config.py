@@ -126,8 +126,15 @@ class Config:
                                        # graphs at ~1.3x step cost)
     device_data: bool = True           # keep the dataset device-resident and
                                        # sample batches inside the jitted
-                                       # scan (zero host work per step);
-                                       # disable for datasets too big for HBM
+                                       # scan (zero host work per step)
+    device_records_models: int = 0     # >0: rotate blocks of this many
+                                       # models through device memory (the
+                                       # big-dataset path — datasets beyond
+                                       # HBM train with one host->device
+                                       # block transfer per rotation instead
+                                       # of the leaking host-fed dispatch)
+    block_rotate_chunks: int = 4       # scan chunks trained per resident
+                                       # block before rotating
 
     # --- parallelism (new capability; reference is single-GPU) ---
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all devices, data-parallel

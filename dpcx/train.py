@@ -102,7 +102,11 @@ def train_steps_scan(
 
     def body(carry, _):
         state, key = carry
-        key, k_m, k_vin, k_tgt, k_drop = jax.random.split(key, 5)
+        # per-step keys are a pure function of (key, ABSOLUTE step), not
+        # of the carried split chain: a chunk boundary (resume, block
+        # rotation) then never changes the batch stream
+        kk = jax.random.fold_in(key, state.step)
+        k_m, k_vin, k_tgt, k_drop = jax.random.split(kk, 4)
         m = jax.random.randint(k_m, (B,), 0, M)
         v_in = jax.random.randint(k_vin, (B,), 0, V)
         # target views without replacement: argsort of uniform keys
@@ -202,7 +206,9 @@ def train_steps_scan_dp(
 
         def body(carry, _):
             state, key = carry
-            key, k_m, k_vin, k_tgt, k_drop = jax.random.split(key, 5)
+            # absolute-step keys: see train_steps_scan
+            kk = jax.random.fold_in(key, state.step)
+            k_m, k_vin, k_tgt, k_drop = jax.random.split(kk, 4)
             # full-batch indices from the shared key; slice per device
             m = jax.random.randint(k_m, (B,), 0, M)
             v_in = jax.random.randint(k_vin, (B,), 0, V)
@@ -265,6 +271,34 @@ def _device_records(dataset: Dataset) -> dict[str, jax.Array]:
     keep = ("images", "masks", "depths", "quats")
     return {
         k: jnp.asarray(v, jnp.float32)
+        for k, v in dataset.records.items()
+        if k in keep
+    }
+
+
+def _device_block(
+    dataset: Dataset, cfg: Config, block_idx: int
+) -> dict[str, jax.Array]:
+    """Rotate a block of cfg.device_records_models models onto the device.
+
+    The big-dataset path for the device-resident scan (the reference
+    streamed via tf.data, dpc/run/train_eval.py; the host-fed per-step
+    path is not viable on this runtime — NOTES.md dispatch-leak). The
+    block's model indices are a PURE FUNCTION of (seed, block_idx) so a
+    resumed run rotates through the identical block sequence, and every
+    block has the same static shape, so the scan executable compiles once
+    and is reused across rotations.
+    """
+    M = dataset.num_models
+    R = min(cfg.device_records_models, M)
+    idx = np.sort(
+        np.random.default_rng((cfg.seed, 7, block_idx)).choice(
+            M, R, replace=False
+        )
+    )
+    keep = ("images", "masks", "depths", "quats")
+    return {
+        k: jnp.asarray(np.asarray(v)[idx], jnp.float32)
         for k, v in dataset.records.items()
         if k in keep
     }
@@ -442,7 +476,15 @@ def train(
             cfg.eval_every or cfg.save_every,
         ),
     )
-    dev_records = _device_records(dataset) if use_device_data else None
+    rotate_blocks = (
+        use_device_data
+        and 0 < cfg.device_records_models < dataset.num_models
+    )
+    if rotate_blocks:
+        block_period = chunk * max(cfg.block_rotate_chunks, 1)
+        dev_records, cur_block = None, -1
+    else:
+        dev_records = _device_records(dataset) if use_device_data else None
 
     def crossed(prev: int, cur: int, every: int) -> bool:
         # trigger on crossing a multiple of `every` — the device-resident
@@ -456,7 +498,15 @@ def train(
             prev_step = step
             if use_device_data:
                 n = min(chunk, max_steps - step)
-                data_key = jax.random.fold_in(base_key, step)
+                if rotate_blocks:
+                    bi = step // block_period
+                    if bi != cur_block:
+                        dev_records = _device_block(dataset, cfg, bi)
+                        cur_block = bi
+                    # keep the chunk inside the block so the data stream
+                    # stays a pure function of (seed, step) across resumes
+                    n = min(n, (bi + 1) * block_period - step)
+                data_key = base_key  # scan derives keys from state.step
                 if mesh.devices.size > 1:
                     state, metrics = train_steps_scan_dp(
                         cfg, state, dev_records, data_key, n, mesh
