@@ -205,3 +205,54 @@ def test_converted_data_trains(tmp_path):
         state, metrics = train_step(cfg, state, batch, jax.random.PRNGKey(1))
         losses.append(float(metrics["loss_total"]))
     assert all(np.isfinite(losses))
+
+
+def test_adversarial_foreign_writer_roundtrip(tmp_path):
+    """Dress rehearsal (VERDICT r2 missing 3): a FOREIGN producer script
+    (scripts/make_adversarial_tfrecords.py — PNG-encoded views, PNG
+    grayscale masks at IMAGE resolution under 'silhouettes', 4x4
+    extrinsics with a translation column under 'camera_mat', 'vertices'
+    GT, no num_views feature) converts losslessly up to PNG quantization
+    and camera quaternions survive the matrix round trip."""
+    import subprocess
+    import sys
+
+    from dpcx.data.synthetic import make_dataset
+
+    rec_path = tmp_path / "renders.tfrecord"
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/make_adversarial_tfrecords.py",
+            "--out", str(rec_path), "--models", "2",
+            "--image-size", "32", "--views", "3",
+        ],
+        capture_output=True, text=True,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": __import__("os").getcwd(),
+        },
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    convert_tfrecords(rec_path, tmp_path / "adv.npz", mask_size=16)
+
+    cfg = Config(
+        category="chair", image_size=32, mask_size=16, vox_size=16,
+        num_views=3, texture_mode="lowfreq",
+    )
+    ds = load_external(tmp_path / "adv.npz", cfg)
+    ref = make_dataset(
+        cfg.replace(mask_size=32, vox_size=32), 2, seed=123,
+        gt_points=1024,
+    )
+    q0, q1 = np.asarray(ref["quats"]), ds.records["quats"]
+    assert np.abs(np.sum(q0 * q1, axis=-1)).min() > 1 - 1e-5
+    assert (
+        np.abs(np.asarray(ref["images"]) - ds.records["images"]).max()
+        < 1 / 128
+    )
+    m_ref = (
+        np.asarray(ref["masks"]).reshape(2, 3, 16, 2, 16, 2).mean((3, 5))
+    )
+    assert np.abs(m_ref - ds.records["masks"]).max() < 1 / 128
+    assert ds.records["gt_points"].shape == (2, 1024, 3)
