@@ -1,5 +1,6 @@
 """Point-sharded renderer == unsharded renderer on the 8-device CPU mesh
-(SURVEY.md §4 item 5, §2.3 point/grid sharding lever)."""
+(SURVEY.md §4 item 5, §2.3 point/grid sharding lever): values, depth,
+rgb, GRADIENTS through the psum, and the large-cloud loss path."""
 
 import jax
 import jax.numpy as jnp
@@ -9,22 +10,126 @@ import pytest
 from dpcx.config import Config
 from dpcx.parallel.mesh import make_mesh
 from dpcx.render.project import pointcloud_project
-from dpcx.render.sharded import pointcloud_project_point_sharded
+from dpcx.render.sharded import (
+    gt_pose_projection_loss_sharded,
+    pointcloud_project_point_sharded,
+)
 
 CFG = Config(vox_size=12, pc_relative_sigma=0.1)
+
+
+def _inputs(n_dev, B=2, per_dev=16, key=0):
+    N = per_dev * n_dev
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    pts = jax.random.uniform(k1, (B, N, 3), minval=-0.4, maxval=0.4)
+    rgb = jax.random.uniform(k2, (B, N, 3))
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+    return pts, rgb, quat
 
 
 def test_point_sharded_matches_unsharded():
     if len(jax.devices()) < 2:
         pytest.skip("needs multi-device runtime")
     mesh = make_mesh(CFG)
-    n_dev = mesh.devices.size
-    N = 16 * n_dev
-    pts = jax.random.uniform(
-        jax.random.PRNGKey(0), (2, N, 3), minval=-0.4, maxval=0.4
-    )
-    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (2, 1))
+    pts, _, quat = _inputs(mesh.devices.size)
     sigma = jnp.asarray(0.1)
     sharded = pointcloud_project_point_sharded(CFG, mesh, pts, quat, sigma)
     ref = pointcloud_project(CFG, pts, quat, sigma).silhouette
-    np.testing.assert_allclose(sharded, ref, atol=1e-5)
+    np.testing.assert_allclose(sharded.silhouette, ref, atol=1e-5)
+
+
+def test_point_sharded_depth_rgb_and_weights_match():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    cfg = CFG.replace(proj_depth=True, pc_rgb=True)
+    mesh = make_mesh(cfg)
+    pts, rgb, quat = _inputs(mesh.devices.size)
+    pw = jnp.linspace(0.2, 1.0, pts.shape[1])[None, :].repeat(2, axis=0)
+    sigma = jnp.asarray(0.1)
+    out = pointcloud_project_point_sharded(
+        cfg, mesh, pts, quat, sigma, point_weights=pw, rgb=rgb
+    )
+    ref = pointcloud_project(
+        cfg, pts, quat, sigma, point_weights=pw, rgb=rgb, splat="matmul"
+    )
+    np.testing.assert_allclose(out.silhouette, ref.silhouette, atol=1e-5)
+    np.testing.assert_allclose(out.depth, ref.depth, atol=1e-4)
+    np.testing.assert_allclose(out.rgb, ref.rgb, atol=1e-4)
+
+
+def test_point_sharded_grads_match_unsharded():
+    """jax.grad differentiates THROUGH the psum: sharded gradient wrt
+    points and rgb equals the unsharded gradient (VERDICT r2 weak 3 —
+    previously forward-only)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    cfg = CFG.replace(pc_rgb=True)
+    mesh = make_mesh(cfg)
+    pts, rgb, quat = _inputs(mesh.devices.size)
+    sigma = jnp.asarray(0.1)
+    tgt = jax.random.uniform(jax.random.PRNGKey(5), (2, 12, 12))
+
+    def loss_sharded(p, r):
+        out = pointcloud_project_point_sharded(
+            cfg, mesh, p, quat, sigma, rgb=r
+        )
+        return (
+            jnp.mean((out.silhouette - tgt) ** 2) + jnp.mean(out.rgb**2)
+        )
+
+    def loss_ref(p, r):
+        out = pointcloud_project(
+            cfg, p, quat, sigma, rgb=r, splat="matmul"
+        )
+        return (
+            jnp.mean((out.silhouette - tgt) ** 2) + jnp.mean(out.rgb**2)
+        )
+
+    gs = jax.grad(loss_sharded, argnums=(0, 1))(pts, rgb)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(pts, rgb)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        )
+
+
+def test_large_cloud_loss_path_optimizes():
+    """The loss path this renderer exists for: directly optimize a cloud
+    too large to want on one device (N = 131072 across the mesh) against
+    target masks; the loss must decrease through sharded render + psum."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    cfg = Config(vox_size=16, pc_relative_sigma=0.08)
+    mesh = make_mesh(cfg)
+    n_dev = mesh.devices.size
+    N = (131072 // n_dev) * n_dev
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (1, N, 3), minval=-0.45, maxval=0.45
+    )
+    quat = jnp.asarray([[1.0, 0, 0, 0]])
+    sigma = jnp.asarray(0.08)
+    # target: everything inside a centered disk
+    yy, xx = jnp.meshgrid(jnp.arange(16), jnp.arange(16), indexing="ij")
+    masks = (
+        ((yy - 7.5) ** 2 + (xx - 7.5) ** 2) < 36.0
+    ).astype(jnp.float32)[None]
+
+    # density normalization: 131k points saturate a 16^3 grid's DRC
+    # occupancy (~32 mass/cell -> silhouette == 1, zero gradient); weight
+    # so the mean cell mass is O(1)
+    pw = jnp.full((1, N), 16.0**3 / N * 2.0)
+
+    loss_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p: gt_pose_projection_loss_sharded(
+                cfg, mesh, p, quat, masks, sigma, point_weights=pw
+            )
+        )
+    )
+    losses = []
+    for _ in range(8):
+        val, g = loss_fn(pts)
+        losses.append(float(val))
+        pts = pts - 0.2 * g * N  # mean-loss grad is O(1/N) per point
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
