@@ -1,4 +1,4 @@
-"""Point-sharded renderer: shard N over the mesh, psum the grids.
+"""Point- and grid-sharded renderers over the device mesh (SURVEY §2.3).
 
 No reference counterpart (the reference is single-GPU; SURVEY.md §2.3 names
 this as the new framework's scale-up lever): the point axis is sharded over
@@ -165,3 +165,134 @@ def gt_pose_projection_loss_sharded(
             / jnp.maximum(jnp.sum(w) * 3.0, 1.0)
         )
     return loss
+
+
+def pointcloud_project_grid_sharded(
+    cfg: Config,
+    mesh: Mesh,
+    points: jax.Array,     # [B, N, 3]
+    quat: jax.Array,       # [B, 4]
+    sigma_rel: jax.Array,
+    point_weights: jax.Array | None = None,
+    axis: str = "data",
+) -> RenderOut:
+    """GRID-sharded renderer: each device owns a z-BLOCK of the D^3 grid
+    (SURVEY.md §2.3's grid-sharding lever; the distributed analogue of the
+    depth-blocked pallas kernel).
+
+    Per device: splat only into the local z-block extended by a blur-halo
+    of ``radius`` slabs (points are replicated; the z-hat weights select
+    the block), blur the extended block (z via a local Toeplitz band, y/x
+    full-width) and crop — exact, because the halo carries the neighbor
+    blocks' splat mass. The DRC reduction then runs BLOCKWISE ACROSS
+    DEVICES: each device computes its in-block stop probabilities and
+    block transmittance T_blk = prod_z(1 - o_z); an all_gather of the
+    [B, Y, X] block transmittances gives every device its exclusive
+    prefix (the transmittance entering its block), and silhouette/depth
+    assemble with a psum. A D^3 grid never exists on any single device —
+    memory per device is D^2 * (D/ndev + 2*radius).
+    """
+    D = cfg.vox_size
+    ndev = mesh.shape[axis]
+    assert D % ndev == 0, (D, ndev)
+    Zl = D // ndev
+    radius = kernel_radius(
+        max(cfg.pc_relative_sigma, cfg.pc_relative_sigma_end),
+        D,
+        cfg.gauss_kernel_truncate,
+    )
+    R = min(radius, Zl)  # halo cannot usefully exceed the block
+    assert radius <= Zl, (
+        f"blur radius {radius} exceeds z-block {Zl}; use fewer devices "
+        "or a smaller sigma"
+    )
+    sigma_vox = jnp.asarray(sigma_rel, points.dtype) * D
+    from dpcx.render.gauss import blur_matrix
+    from dpcx.render.voxelize import _hat_weights, ndc_to_grid
+
+    pw_spec = P(None, None) if point_weights is not None else P()
+    with_pw = point_weights is not None
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P(None, None), pw_spec),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        check_vma=False,
+    )
+    def _render(pts, q, pw):
+        di = jax.lax.axis_index(axis)
+        z0 = di * Zl
+        ndc = pc_perspective_transform(
+            pts,
+            q,
+            focal_length=cfg.focal_length,
+            camera_distance=cfg.camera_distance,
+        )
+        g = ndc_to_grid(ndc, D)  # [B, N, 3] (z, y, x)
+        wz = _hat_weights(g[..., 0], D)  # [B, N, D]
+        wy = _hat_weights(g[..., 1], D)
+        wx = _hat_weights(g[..., 2], D)
+        if with_pw:
+            wz = wz * pw[..., None]
+        # z-hat columns for the local block + halo (pad so boundary
+        # blocks slice zeros — same as the grid edge's zero padding)
+        wz_pad = jnp.pad(wz, ((0, 0), (0, 0), (R, R)))
+        wz_loc = jax.lax.dynamic_slice_in_dim(
+            wz_pad, z0, Zl + 2 * R, axis=2
+        )  # [B, N, Zl + 2R]
+
+        # local splat: one batched MXU matmul per extended slab
+        def slab(s):
+            wzy = wz_loc[:, :, s][..., None] * wy  # [B, N, D]
+            return jnp.einsum(
+                "bny,bnx->byx", wzy, wx,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        grid = jnp.moveaxis(
+            jax.lax.map(slab, jnp.arange(Zl + 2 * R)), 0, 1
+        )  # [B, Zl+2R, D, D]
+
+        # blur: y/x with the full-width Toeplitz, z with a local band —
+        # halo makes the crop exact
+        p_hi = jax.lax.Precision.HIGHEST
+        Kf = blur_matrix(sigma_vox, D, radius).astype(grid.dtype)
+        Kz = blur_matrix(sigma_vox, Zl + 2 * R, radius).astype(grid.dtype)
+        grid = jnp.einsum("bzyx,xi->bzyi", grid, Kf, precision=p_hi)
+        grid = jnp.einsum("bzyx,yi->bzix", grid, Kf, precision=p_hi)
+        grid = jnp.einsum("bzyx,zi->biyx", grid, Kz, precision=p_hi)
+        o_loc = grid[:, R : R + Zl]
+
+        # blockwise DRC across devices
+        p_loc, t_blk = drc_event_probabilities(
+            o_loc, logsum=cfg.drc_logsum
+        )
+        t_all = jax.lax.all_gather(t_blk, axis)  # [ndev, B, Y, X]
+        before = (
+            jnp.arange(ndev) < di
+        ).astype(t_all.dtype)[:, None, None, None]
+        t_in = jnp.prod(
+            t_all * before + (1.0 - before), axis=0
+        )  # exclusive prefix transmittance
+        total = jnp.prod(t_all, axis=0)
+        sil = 1.0 - total
+        zs = (
+            (z0 + jnp.arange(Zl, dtype=o_loc.dtype) + 0.5) / D - 0.5
+        )
+        depth = (
+            jax.lax.psum(
+                jnp.einsum("bzyx,z->byx", p_loc * t_in[:, None], zs),
+                axis,
+            )
+            + 1.0 * total
+        )
+        return sil, depth
+
+    sil, depth = _render(
+        points, quat,
+        point_weights if with_pw else jnp.zeros(()),
+    )
+    return RenderOut(
+        silhouette=sil, depth=depth if cfg.proj_depth else None
+    )
