@@ -48,6 +48,9 @@ p.add_argument("--texture", default="stripes",
 p.add_argument("--raw-selection", action="store_true",
                help="disable rgb_sel_normalize (round-2 raw-sum argmin)")
 p.add_argument("--vox", type=int, default=32)
+p.add_argument("--batch", type=int, default=16,
+               help="16 fits K=4+rgb or K=8 sil-only; K=8+rgb needs 8 "
+                    "(HBM: the K x V render fan-out dominates)")
 p.add_argument("--points", type=int, default=2048)
 p.add_argument("--remat", action="store_true",
                help="jax.checkpoint the loss (HBM relief for the K-rgb "
@@ -70,7 +73,7 @@ cfg = Config(
     latent_dim=512,
     fc_hidden=512,
     pc_decoder_hidden=(512, 512),
-    batch_size=16,
+    batch_size=args.batch,
     num_views=5,
     views_per_step=args.views_per_step,
     learning_rate=args.lr,
@@ -113,7 +116,7 @@ final_tr = evaluate(
     cfg,
     state.params,
     Dataset(jax.tree.map(lambda x: x[:32], ds.records), cfg),
-    batch_size=16,
+    batch_size=args.batch,
 )
 out = {
     "config": vars(args),
