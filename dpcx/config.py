@@ -117,6 +117,11 @@ class Config:
     # any loss resolution — the control for whether rgb-in-selection can
     # break silhouette-mirror pose gauges)
     texture_mode: str = "stripes"
+    rgb_warmup_steps: int = 0          # >0: linear warmup of the color
+                                       # loss weight AND its selection
+                                       # influence (predicted-pose) —
+                                       # geometry locks before rgb carries
+                                       # weight (collapse mitigation)
     data_dir: str = "data"
     mask_size: int = 64                # projection/mask resolution (== D)
     remat: bool = False                # jax.checkpoint the loss forward:

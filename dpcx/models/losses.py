@@ -65,8 +65,22 @@ def _render_silhouettes(
     return out.silhouette, out.depth
 
 
+def rgb_ramp(cfg: Config, step: jax.Array) -> jax.Array:
+    """Linear warmup factor for the color loss (cfg.rgb_warmup_steps):
+    lets geometry/silhouette lock in before the rgb term carries weight —
+    collapse mitigation for small-batch K-candidate rgb runs."""
+    if cfg.rgb_warmup_steps <= 0:
+        return jnp.asarray(1.0)
+    return jnp.clip(
+        step.astype(jnp.float32) / cfg.rgb_warmup_steps, 0.0, 1.0
+    )
+
+
 def candidate_scores(
-    cfg: Config, l_k: jax.Array, rgb_l_k: jax.Array | None
+    cfg: Config,
+    l_k: jax.Array,
+    rgb_l_k: jax.Array | None,
+    ramp: jax.Array | float = 1.0,
 ) -> jax.Array:
     """Per-candidate SELECTION score [B, K] for the hard-min argmin.
 
@@ -75,16 +89,17 @@ def candidate_scores(
     O(1) each, independent of raw scales — the raw weighted sum let the
     larger term dominate and the winner flipped late in training
     (round-2 car rgb runs). Loss VALUES are unaffected; only the argmin
-    input changes.
+    input changes. ``ramp`` scales the rgb term's selection influence in
+    step with the warmed-up loss weight.
     """
     if rgb_l_k is None:
         return cfg.proj_weight * l_k
     if cfg.rgb_sel_normalize:
         sg = jax.lax.stop_gradient
-        return l_k / (sg(jnp.mean(l_k)) + 1e-8) + rgb_l_k / (
+        return l_k / (sg(jnp.mean(l_k)) + 1e-8) + ramp * rgb_l_k / (
             sg(jnp.mean(rgb_l_k)) + 1e-8
         )
-    return cfg.proj_weight * l_k + cfg.rgb_weight * rgb_l_k
+    return cfg.proj_weight * l_k + cfg.rgb_weight * ramp * rgb_l_k
 
 
 def _masked_depth_loss(
@@ -321,7 +336,8 @@ def compute_loss(
                 )
                 / denom
             )  # [B, K]
-        comb_k = candidate_scores(cfg, l_k, rgb_l_k)
+        ramp = rgb_ramp(cfg, step)
+        comb_k = candidate_scores(cfg, l_k, rgb_l_k, ramp)
         k_star = jnp.argmin(comb_k, axis=1)  # [B]
         proj_loss = jnp.mean(
             jnp.take_along_axis(l_k, k_star[:, None], axis=1)
@@ -335,7 +351,7 @@ def compute_loss(
             rgb_loss = jnp.mean(
                 jnp.take_along_axis(rgb_l_k, k_star[:, None], axis=1)
             )
-            total = total + cfg.rgb_weight * rgb_loss
+            total = total + cfg.rgb_weight * ramp * rgb_loss
             metrics["loss_rgb"] = rgb_loss
         if cfg.pose_student and "student_quat" in preds:
             q_teacher = jax.lax.stop_gradient(

@@ -41,6 +41,8 @@ p.add_argument("--rgb", action="store_true",
                     "the hard-min SELECTION (breaks silhouette-symmetric "
                     "pose gauges that a mask-only argmin cannot)")
 p.add_argument("--rgb-weight", type=float, default=1.0)
+p.add_argument("--rgb-warmup", type=int, default=0,
+               help="linear rgb-weight warmup steps (collapse guard)")
 p.add_argument("--texture", default="stripes",
                help="datagen texture mode: stripes (round-2 high-freq, "
                     "aliases away at mask resolution) | lowfreq (two-tone "
@@ -88,6 +90,7 @@ cfg = Config(
     pose_student_weight=args.student_weight,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
+    rgb_warmup_steps=args.rgb_warmup,
     texture_mode=args.texture,
     rgb_sel_normalize=not args.raw_selection,
     renderer="pallas",

@@ -310,3 +310,29 @@ def test_candidate_scores_normalization():
     np.testing.assert_allclose(
         candidate_scores(cfg, l_k, None), cfg.proj_weight * l_k
     )
+
+
+def test_rgb_warmup_ramps_selection_and_loss():
+    """cfg.rgb_warmup_steps linearly ramps the color term's loss weight
+    and selection influence: at step 0 the argmin is silhouette-only; at
+    step >= warmup it matches the unwarmed score."""
+    import jax.numpy as jnp
+
+    from dpcx.config import Config
+    from dpcx.models.losses import candidate_scores, rgb_ramp
+
+    cfg = Config(rgb_warmup_steps=100, rgb_sel_normalize=True)
+    l_k = jnp.asarray([[0.2, 0.1]])
+    rgb_k = jnp.asarray([[0.0, 1.0]])  # rgb prefers candidate 0
+    r0 = rgb_ramp(cfg, jnp.asarray(0))
+    r1 = rgb_ramp(cfg, jnp.asarray(100))
+    assert float(r0) == 0.0 and float(r1) == 1.0
+    s0 = candidate_scores(cfg, l_k, rgb_k, r0)
+    s1 = candidate_scores(cfg, l_k, rgb_k, r1)
+    # at ramp 0 selection follows silhouette (cand 1 wins); at full ramp
+    # the rgb term flips it
+    assert int(jnp.argmin(s0, axis=1)[0]) == 1
+    assert int(jnp.argmin(s1, axis=1)[0]) == 0
+    # default (no warmup) == ramp 1
+    cfg0 = Config(rgb_sel_normalize=True)
+    assert float(rgb_ramp(cfg0, jnp.asarray(0))) == 1.0
