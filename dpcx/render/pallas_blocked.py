@@ -581,6 +581,9 @@ def _blocked_bwd_kernel(
         wx_t = _hat_t(cell_sub, gx).astype(acc_dtype)
         dwx_t = _dhat_t(cell_sub, gx).astype(acc_dtype)
 
+        wy32 = wy_t.astype(jnp.float32)
+        dwy32 = dwy_t.astype(jnp.float32)
+
         def trip(k, carry):
             agz, agy, agx, apw = carry
             z0_g = zb_g + k * G
@@ -589,7 +592,6 @@ def _blocked_bwd_kernel(
             # never existed, so they carry no gradient either
             valid = (ids <= D - 1).astype(jnp.float32)
             hz = (_hat_t(ids, gz) * valid).astype(acc_dtype)
-            dhz = (_dhat_t(ids, gz) * valid).astype(acc_dtype)
             a_t = (hz * pw.astype(acc_dtype)) * wy_t
             dgw = (
                 grid_ref[pl.ds(zb_loc + k * G, G), :, :]
@@ -604,19 +606,22 @@ def _blocked_bwd_kernel(
                 dgw, a_t, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=mxu_prec,
             )  # [D, C] = dL/dwx
-            hz32 = hz.astype(jnp.float32)
-            wy32 = wy_t.astype(jnp.float32)
-            agz = agz + jnp.sum(
-                v * (dhz.astype(jnp.float32) * wy32), axis=0, keepdims=True
-            ) * pw
-            agy = agy + jnp.sum(
-                v * (hz32 * dwy_t.astype(jnp.float32)), axis=0,
-                keepdims=True,
-            ) * pw
+            # z/y separability (see pallas_kernel.py's trip): the row
+            # reductions factor into per-slab partial sums times [G, C]
+            # hat terms — the full-height triple products + 4 reductions
+            # were the VPU hot spot of this loop
+            P = (v * wy32).reshape(G, D, C).sum(axis=1)   # [G, C]
+            Q = (v * dwy32).reshape(G, D, C).sum(axis=1)  # [G, C]
+            zslab = z0_g.astype(jnp.float32) + _iota_f32((G, 1), 0)
+            valid_g = (zslab <= D - 1).astype(jnp.float32)
+            hz_g = _hat_t(zslab, gz) * valid_g            # [G, C]
+            dhz_g = _dhat_t(zslab, gz) * valid_g          # [G, C]
+            agz = agz + jnp.sum(dhz_g * P, axis=0, keepdims=True) * pw
+            agy = agy + jnp.sum(hz_g * Q, axis=0, keepdims=True) * pw
             agx = agx + jnp.sum(
                 t1 * dwx_t.astype(jnp.float32), axis=0, keepdims=True
             )
-            apw = apw + jnp.sum(v * (hz32 * wy32), axis=0, keepdims=True)
+            apw = apw + jnp.sum(hz_g * P, axis=0, keepdims=True)
             return agz, agy, agx, apw
 
         z1 = jnp.zeros((1, C), jnp.float32)

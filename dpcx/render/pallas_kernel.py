@@ -458,12 +458,14 @@ def _fused_bwd_kernel(
             wx_t = hat_t(cell_sub, gx).astype(acc_dtype)    # [D, C]
             dwx_t = dhat_t(cell_sub, gx).astype(acc_dtype)  # [D, C]
 
+            wy32 = wy_t.astype(jnp.float32)
+            dwy32 = dwy_t.astype(jnp.float32)
+
             def trip(k, carry):
                 agz, agy, agx, apw = carry
                 z0 = zb + k * G
                 ids = row_z + z0.astype(jnp.float32)
                 hz = hat_t(ids, gz).astype(acc_dtype)        # [G*D, C]
-                dhz = dhat_t(ids, gz).astype(acc_dtype)
                 a_t = (hz * pw.astype(acc_dtype)) * wy_t     # [G*D, C]
                 dgw = (
                     grid_ref[pl.ds(z0, G), :, :]
@@ -482,21 +484,29 @@ def _fused_bwd_kernel(
                     preferred_element_type=jnp.float32,
                     precision=mxu_prec,
                 )  # [D, C]
+                # z/y separability: within a trip, hz/dhz are constant
+                # across the D y-rows of each z-slab and hy/dhy are
+                # shared across slabs, so the [G*D, C] row reductions
+                # factor into per-slab partial sums P/Q times [G, C]
+                # hat terms — 2 products + 2 segmented sums instead of
+                # 3 triple products + 4 full-height reductions (this
+                # loop is VPU-bound; the matmuls above are ~2% of it)
+                P = (v * wy32).reshape(G, D, C).sum(axis=1)   # [G, C]
+                Q = (v * dwy32).reshape(G, D, C).sum(axis=1)  # [G, C]
+                zslab = z0.astype(jnp.float32) + _iota_f32((G, 1), 0)
+                hz_g = hat_t(zslab, gz)                       # [G, C]
+                dhz_g = dhat_t(zslab, gz)                     # [G, C]
                 pw32 = pw
-                hz32 = hz.astype(jnp.float32)
-                wy32 = wy_t.astype(jnp.float32)
                 agz = agz + jnp.sum(
-                    v * (dhz.astype(jnp.float32) * wy32), axis=0,
-                    keepdims=True,
+                    dhz_g * P, axis=0, keepdims=True
                 ) * pw32
                 agy = agy + jnp.sum(
-                    v * (hz32 * dwy_t.astype(jnp.float32)), axis=0,
-                    keepdims=True,
+                    hz_g * Q, axis=0, keepdims=True
                 ) * pw32
                 agx = agx + jnp.sum(
                     t1 * dwx_t.astype(jnp.float32), axis=0, keepdims=True
                 )
-                apw = apw + jnp.sum(v * (hz32 * wy32), axis=0, keepdims=True)
+                apw = apw + jnp.sum(hz_g * P, axis=0, keepdims=True)
                 return agz, agy, agx, apw
 
             z1 = jnp.zeros((1, C), jnp.float32)
