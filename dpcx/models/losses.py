@@ -129,6 +129,20 @@ def compute_loss(
     masks = batch["masks"]
     V = masks.shape[1]
     D = cfg.vox_size
+    # External datasets (tfrecord converts) may store masks/depths at a
+    # different resolution than the projection grid (ref stores multiple
+    # mask sizes; dpc/run/train_eval.py picks the one matching vox_size).
+    # We resize at loss time instead so any mask size trains at any D.
+    if masks.shape[-1] != D:
+        masks = jax.image.resize(masks, (B, V, D, D), method="bilinear")
+    batch = dict(batch)
+    batch["masks"] = masks
+    if cfg.proj_depth and "depths" in batch and batch["depths"].shape[-1] != D:
+        # nearest: bilinear would blend background depth into silhouette
+        # boundary pixels and corrupt the masked depth loss
+        batch["depths"] = jax.image.resize(
+            batch["depths"], (B, V, D, D), method="nearest"
+        )
 
     sigma_rel = sigma_schedule(cfg, step)
     point_weights = None

@@ -121,6 +121,39 @@ def test_loss_gt_pose_runs_and_grads():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+def test_loss_resizes_foreign_mask_resolution():
+    """External datasets (tfrecord converts) may store masks/depths at a
+    resolution other than vox_size (ref keeps multiple mask sizes and picks
+    one; we resize at loss time). Both loss branches must accept them."""
+    for cfg in (
+        TINY.replace(proj_depth=True, drc_weight=0.1),
+        TINY.replace(predict_pose=True, pose_predict_num_candidates=2),
+    ):
+        model = ModelPointCloud(cfg)
+        batch = _fake_batch(cfg, B=2)
+        B, V = 2, cfg.views_per_step
+        M = 2 * cfg.vox_size  # foreign resolution != D
+        key = jax.random.PRNGKey(3)
+        batch["masks"] = (
+            jax.random.uniform(key, (B, V, M, M)) > 0.7
+        ).astype(jnp.float32)
+        batch["depths"] = jnp.ones((B, V, M, M))
+        params = model.init(jax.random.PRNGKey(0), batch["image"])
+
+        def loss_fn(p):
+            preds = model.apply(p, batch["image"])
+            loss, _ = compute_loss(
+                cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert jnp.isfinite(loss)
+        assert all(
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+        )
+
+
 def test_hard_min_gates_gradients():
     """Only the winning pose candidate receives projection gradients."""
     cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
