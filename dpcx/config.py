@@ -37,6 +37,13 @@ class Config:
     gsplat_impl: str = "windowed"      # windowed (per-point windows +
                                        # matmul-scatter, TPU-fast) | dense
                                        # (all-cells oracle)
+    gsplat_remat: bool = True          # checkpoint the windowed point-chunk
+                                       # scan body: recomputing one chunk's
+                                       # VPU exps in the backward is nearly
+                                       # free, while saving them OOMs HBM at
+                                       # B*V*n_chunks scale (measured: the
+                                       # showcase config exceeds 15.75G
+                                       # without this)
     pc_decoder_hidden: tuple[int, ...] = (1024, 1024, 1024)
 
     # --- encoder (ref: dpc/nets/img_encoder.py) ---

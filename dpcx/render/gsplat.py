@@ -375,7 +375,7 @@ def gsplat_project(
             point_weights=opacity,
             rgb=rgb,
             max_scale_ndc=cfg.gauss_scale_max,
-            remat=cfg.remat,
+            remat=cfg.gsplat_remat,
         )
     else:
         out = anisotropic_density_grid(

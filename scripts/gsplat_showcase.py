@@ -36,6 +36,10 @@ p.add_argument("--tag", default="")
 p.add_argument("--cpu", action="store_true")
 p.add_argument("--small", action="store_true",
                help="tiny shapes for a smoke run")
+p.add_argument("--log-every", type=int, default=100,
+               help="log cadence == device-resident scan chunk size; the"
+               " axon worker faults on heavy graphs at large chunk sizes"
+               " (NOTES.md), keep it <= 200 for gsplat graphs")
 args = p.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -63,7 +67,7 @@ cfg = Config(
     pc_relative_sigma_end=0.02,
     sigma_anneal_steps=max(args.steps // 2, 1),
     learning_rate=2e-4,
-    log_every=200,
+    log_every=args.log_every,
     save_every=10**9,
 )
 if args.small:
