@@ -579,6 +579,15 @@ def _write_image_summary(cfg: Config, state: TrainState, batch, step) -> None:
             np.asarray(batch["masks"][i, 0], dtype=np.float32)
             for i in range(len(imgs))
         ]
+        if imgs and gt and gt[0].shape != imgs[0].shape:
+            # foreign-resolution masks (external datasets): match the
+            # rendered grid so the side-by-side panel composes
+            gt = [
+                np.asarray(
+                    jax.image.resize(g, imgs[0].shape, method="bilinear")
+                )
+                for g in gt
+            ]
         save_image_grid(
             imgs + gt,
             Path(cfg.checkpoint_dir) / "summaries" / f"proj_{step:07d}.png",

@@ -25,6 +25,9 @@ from dpcx.train import train
 
 p = argparse.ArgumentParser()
 p.add_argument("--tag", default="offsets")
+p.add_argument("--seed", type=int, default=0,
+               help="init/data-stream seed (datasets stay fixed so runs"
+               " are comparable; this probes mode-locking variance)")
 p.add_argument("--category", default="chair")
 p.add_argument("--steps", type=int, default=40000)
 p.add_argument("--models", type=int, default=1500)
@@ -65,6 +68,7 @@ args = p.parse_args()
 
 cfg = Config(
     name=f"pose_r2_{args.tag}",
+    seed=args.seed,
     category=args.category,
     checkpoint_dir=f"/tmp/dpcx_pose_r2_{args.tag}",
     pc_num_points=args.points,
