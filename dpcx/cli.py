@@ -101,6 +101,32 @@ def cmd_bench(args) -> None:
     bench.main()
 
 
+def cmd_serve(args) -> None:
+    """Online inference server (dpcx/serve.py, SURVEY.md §5 Serving)."""
+    import jax
+
+    from dpcx.serve import serve
+    from dpcx.train import (
+        _checkpoint_manager,
+        create_state,
+        record_and_check_run_config,
+        restore_checkpoint,
+    )
+
+    cfg = _load_cfg(args)
+    record_and_check_run_config(cfg, write=False)
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    state = restore_checkpoint(_checkpoint_manager(cfg), state)
+    srv = serve(
+        cfg,
+        state.params,
+        port=args.port,
+        batch_size=args.batch,
+        cast_bf16=args.bf16,
+    )
+    srv.serve_forever()
+
+
 def cmd_convert(args) -> None:
     """Reference tfrecords -> npz shards (dpcx/data/convert.py)."""
     from dpcx.data.convert import convert_tfrecords
@@ -123,6 +149,7 @@ def main(argv=None) -> None:
         ("datagen", cmd_datagen),
         ("bench", cmd_bench),
         ("convert", cmd_convert),
+        ("serve", cmd_serve),
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-f", "--config", default=None)
@@ -143,6 +170,13 @@ def main(argv=None) -> None:
             sp.add_argument("-i", "--inp", required=True,
                             help="tfrecord glob pattern")
             sp.add_argument("--mask-size", type=int, default=0)
+        if name == "serve":
+            sp.add_argument("--port", type=int, default=8787)
+            sp.add_argument("--batch", type=int, default=16,
+                            help="fixed serving batch (requests are "
+                                 "padded/chunked to it)")
+            sp.add_argument("--bf16", action="store_true",
+                            help="cast params to bfloat16 for serving")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,204 @@
+"""Serving path: low-latency batched inference + a zero-dependency HTTP
+front end.
+
+Reference parity: the reference ships only an offline batch predictor
+(dpc/run/predict_eval.py, SURVEY.md §2.2 #17); production deployment of
+this framework additionally needs an online path (SURVEY.md §5
+"Serving/CLI"). Design points, TPU-first:
+
+- ONE compiled executable per (cfg, batch) — requests are padded to the
+  fixed serving batch so XLA never retraces; the pad rows are dropped on
+  the way out.
+- The image buffer is donated: steady-state serving holds one input
+  block in HBM, not two.
+- Optional bf16 parameter cast (halves weight HBM + MXU time; the
+  encoder/decoder are bf16-safe — training already runs them in bf16
+  compute).
+- `warmup()` compiles before the first request so p50 latency is not a
+  compile.
+
+Run it:
+
+    python -m dpcx.cli serve -f experiments/chair_gt_pose.yaml --port 8787
+
+Protocol (stdlib only, npz over HTTP):
+
+    POST /predict   body = npz{"images": [B, H, W, 3] float32/uint8}
+                    -> npz{"points": [B, N, 3], "scale": [B, 1],
+                           "pose": [B, 4] (if cfg.predict_pose)}
+    GET  /healthz   -> {"status": "ok", "requests": ..., "batch": ...}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from functools import partial
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpcx.config import Config
+from dpcx.models.model_pc import ModelPointCloud
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("images",),
+)
+def _serve_step(cfg: Config, params, images: jax.Array) -> dict:
+    model = ModelPointCloud(cfg)
+    preds = model.apply(params, images)
+    out = {"points": preds["points"]}
+    if "scale" in preds:
+        out["scale"] = preds["scale"]
+    if cfg.predict_pose and "student_quat" in preds:
+        out["pose"] = preds["student_quat"]
+    return out
+
+
+class ServingModel:
+    """Fixed-batch jitted predictor with padding and donated inputs."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        batch_size: int = 16,
+        cast_bf16: bool = False,
+    ):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        if cast_bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if isinstance(p, jax.Array)
+                and jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                params,
+            )
+        self.params = jax.device_put(params)
+        self.requests = 0
+
+    def warmup(self) -> float:
+        """Compile the serving executable; returns compile seconds."""
+        t0 = time.perf_counter()
+        dummy = np.zeros(
+            (self.batch_size, self.cfg.image_size, self.cfg.image_size, 3),
+            np.float32,
+        )
+        jax.block_until_ready(self(dummy)["points"])
+        return time.perf_counter() - t0
+
+    def __call__(self, images: np.ndarray) -> dict[str, np.ndarray]:
+        """images [B, H, W, 3] (any B >= 1) -> prediction arrays [B, ...].
+
+        uint8 inputs are rescaled to [0, 1]. Requests larger than the
+        serving batch are chunked; smaller ones are padded (fixed shapes
+        keep the single compiled executable)."""
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        images = images.astype(np.float32)
+        B = images.shape[0]
+        outs: list[dict] = []
+        for s in range(0, B, self.batch_size):
+            chunk = images[s : s + self.batch_size]
+            n = chunk.shape[0]
+            if n < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], self.batch_size - n, 0)]
+                )
+            preds = _serve_step(self.cfg, self.params, jnp.asarray(chunk))
+            outs.append(
+                {k: np.asarray(v)[:n] for k, v in preds.items()}
+            )
+        self.requests += 1
+        return {
+            k: np.concatenate([o[k] for o in outs]) for k in outs[0]
+        }
+
+
+def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_handler(model: ServingModel):
+    lock = threading.Lock()  # one TPU; serialize device work
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "requests": model.requests,
+                        "batch": model.batch_size,
+                    },
+                )
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                with np.load(io.BytesIO(self.rfile.read(n))) as f:
+                    images = f["images"]
+                with lock:
+                    preds = model(images)
+                body = _npz_bytes(preds)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/npz")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(
+    cfg: Config,
+    params,
+    port: int = 8787,
+    batch_size: int = 16,
+    cast_bf16: bool = False,
+) -> ThreadingHTTPServer:
+    """Build + warm the model, return a ready (not yet serving) server.
+
+    Caller runs `srv.serve_forever()` (blocking) or drives it from a
+    thread (tests)."""
+    model = ServingModel(cfg, params, batch_size, cast_bf16)
+    secs = model.warmup()
+    srv = ThreadingHTTPServer(("127.0.0.1", port), make_handler(model))
+    srv.model = model  # for tests/introspection
+    print(
+        json.dumps(
+            {"serving": port, "batch": batch_size, "compile_s": round(secs, 2)}
+        ),
+        flush=True,
+    )
+    return srv

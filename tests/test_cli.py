@@ -57,3 +57,87 @@ def test_predict_writes_npz(tiny_yaml, tmp_path, capsys):
     capsys.readouterr()
     cli.main(["predict", "-f", tiny_yaml, "-n", "2", "-o", out_file])
     assert os.path.exists(out_file)
+
+
+def test_serve_http_roundtrip(tiny_yaml):
+    """ServingModel + HTTP front end: POST npz images -> npz predictions,
+    padding/chunking across the fixed serving batch, healthz counter."""
+    import io
+    import threading
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from dpcx.config import load_config
+    from dpcx.serve import serve
+    from dpcx.train import create_state
+
+    cfg = load_config(tiny_yaml)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    srv = serve(cfg, state.params, port=0, batch_size=2)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # 3 images with a batch of 2 -> one padded + one full chunk
+        imgs = np.random.default_rng(0).random(
+            (3, cfg.image_size, cfg.image_size, 3), np.float32
+        )
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            with np.load(io.BytesIO(resp.read())) as f:
+                pts = f["points"]
+        assert pts.shape == (3, cfg.pc_num_points, 3)
+        assert np.isfinite(pts).all()
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["requests"] >= 1
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serving_model_bf16_and_chunking(tiny_yaml):
+    import jax
+    import numpy as np
+
+    from dpcx.config import load_config
+    from dpcx.serve import ServingModel
+    from dpcx.train import create_state
+
+    cfg = load_config(tiny_yaml)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    m32 = ServingModel(cfg, state.params, batch_size=2)
+    m16 = ServingModel(cfg, state.params, batch_size=2, cast_bf16=True)
+    imgs = np.random.default_rng(1).random(
+        (5, cfg.image_size, cfg.image_size, 3), np.float32
+    )
+    p32 = m32(imgs)["points"]
+    p16 = m16(imgs)["points"]
+    assert p32.shape == p16.shape == (5, cfg.pc_num_points, 3)
+    # bf16 weights drift the outputs but not far (decoder ends in tanh-ish
+    # bounded coords); serving fidelity bound
+    assert float(np.abs(p32 - p16).mean()) < 0.05
+    # uint8 path
+    pu8 = m32((imgs * 255).astype(np.uint8))["points"]
+    assert float(np.abs(pu8 - p32).max()) < 0.05
