@@ -492,10 +492,21 @@ def train(
         # modulo test could never fire
         return every > 0 and cur // every > prev // every
 
+    trace_state = "armed" if cfg.profile_dir else "off"
     with writer:
         step = start_step
         while step < max_steps:
             prev_step = step
+            if trace_state == "armed" and step >= start_step + chunk:
+                # one traced chunk per run, after the compile chunk
+                # (SURVEY §5 tracing row); view with tensorboard/xprof.
+                # cfg itself is never mutated — it is a static jit arg
+                # and replacing it would retrace the train step.
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_state = "on"
+            elif trace_state == "on":
+                jax.profiler.stop_trace()
+                trace_state = "done"
             if use_device_data:
                 n = min(chunk, max_steps - step)
                 if rotate_blocks:
@@ -556,6 +567,9 @@ def train(
                 val_rec = {f"val_{k}": v for k, v in val.items()}
                 writer.write(step, val_rec)
                 history.append({"step": step, **val_rec})
+        if trace_state == "on":  # trace spanned the final chunk
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
         if mngr is not None:
             save_checkpoint(mngr, state)
             mngr.wait_until_finished()

@@ -19,7 +19,13 @@ def benchmark_fn(
     iters: int = 20,
     warmup: int = 2,
 ) -> dict[str, float]:
-    """Time a nullary jitted fn; returns seconds/iter and iters/sec."""
+    """Time a nullary jitted fn; returns seconds/iter and iters/sec.
+
+    CAUTION: host-side wall timing. On this machine's tunneled TPU it
+    UNDER-measures (async dispatch; block_until_ready is not a barrier —
+    NOTES.md). For kernel numbers use dpcx.utils.timing.bench_scan, the
+    device-side harness every shipped benchmark uses; this helper remains
+    for quick local-CPU sanity only."""
     for _ in range(warmup):
         jax.block_until_ready(fn())
     t0 = time.perf_counter()

@@ -259,3 +259,29 @@ def test_block_rotation_trains_and_resumes_reproducibly():
             jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """cfg.profile_dir traces exactly one post-compile chunk (SURVEY §5
+    tracing row) and writes an xplane dump; training output unchanged."""
+    import os
+
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        profile_dir=str(tmp_path / "trace"),
+        log_every=2,
+        max_number_of_steps=6,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0), cfg)
+    _, hist = train(cfg, dataset=ds, use_checkpoints=False)
+    assert hist and hist[-1]["step"] == 6
+    dumps = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp_path / "trace")
+        for f in fs
+        if f.endswith(".xplane.pb")
+    ]
+    assert dumps, "no xplane trace written"
