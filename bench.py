@@ -69,6 +69,41 @@ def measure_bwd(cfg, pts, quat, sigma, iters):
     )
 
 
+def measure_gsplat(iters=60):
+    """BASELINE config 5 renderer: anisotropic RGB alpha-splats through
+    the windowed matmul-scatter path at the rgb_splats.yaml shapes
+    (B=8 render batch, N=4096, D=32), fwd+bwd through points/scales/
+    opacity (the training cost). Mpts/s."""
+    from dpcx.render.gsplat import gsplat_project
+    from dpcx.utils.timing import bench_scan
+
+    cfg = Config(
+        vox_size=32, pc_num_points=4096, pc_rgb=True, pc_gauss=True,
+        gauss_scale_min=0.005, gauss_scale_max=0.06,
+    )
+    B, N = 8, 4096
+    key = jax.random.PRNGKey(5)
+    pts, quat = _inputs(B, N, key=5)
+    scales = jax.random.uniform(key, (B, N, 3), minval=0.01, maxval=0.05)
+    rot = jax.random.normal(jax.random.PRNGKey(6), (B, N, 4))
+    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    opac = jax.random.uniform(jax.random.PRNGKey(7), (B, N))
+    rgb = jax.random.uniform(jax.random.PRNGKey(8), (B, N, 3))
+
+    def body(carry, p, s, o):
+        def loss(p_, s_, o_):
+            out = gsplat_project(cfg, p_, quat, s_, rot, o_, rgb)
+            return out.silhouette.sum() + out.rgb.sum()
+
+        gp, gs, go = jax.grad(loss, argnums=(0, 1, 2))(
+            p + carry * 1e-17, s, o
+        )
+        return carry + 1e-17, gp.sum() + gs.sum() + go.sum()
+
+    sec = bench_scan(body, jnp.zeros(()), (pts, scales, opac), iters=iters)
+    return B * N / sec / 1e6
+
+
 HEALTH_FILE = "bench_health.json"
 
 
@@ -192,6 +227,8 @@ def main() -> None:
         rec["d128_fwdbwd_value"] = round(
             measure_bwd(c128, pts128, quat128, sigma, 60), 2
         )
+        # BASELINE config 5 renderer (windowed gsplat, fwd+bwd)
+        rec["gsplat_fwdbwd_value"] = round(measure_gsplat(), 2)
         rec["parity"] = {
             mode: parity(cfg(mode), pts, quat, sigma)
             for mode in ("float32", "bfloat16")
