@@ -65,8 +65,17 @@ def predict_dataset(
     if all_scales:
         out["scale"] = np.concatenate(all_scales)
     if out_path is not None:
-        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(out_path, **out)
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        if out_path.suffix == ".mat":
+            # the reference's predict_eval dumps .mat per model
+            # (dpc/run/predict_eval.py); one bundled .mat here so
+            # downstream MATLAB/scipy eval scripts keep working
+            from scipy.io import savemat
+
+            savemat(str(out_path), out)
+        else:
+            np.savez_compressed(out_path, **out)
     return out
 
 

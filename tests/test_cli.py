@@ -141,3 +141,16 @@ def test_serving_model_bf16_and_chunking(tiny_yaml):
     # uint8 path
     pu8 = m32((imgs * 255).astype(np.uint8))["points"]
     assert float(np.abs(pu8 - p32).max()) < 0.05
+
+
+def test_predict_writes_mat(tiny_yaml, tmp_path, capsys):
+    """Reference-parity export: .mat suffix routes through scipy.io
+    (dpc/run/predict_eval.py dumps .mat)."""
+    from scipy.io import loadmat
+
+    out_file = str(tmp_path / "preds.mat")
+    cli.main(["datagen", "-f", tiny_yaml, "-n", "2"])
+    capsys.readouterr()
+    cli.main(["predict", "-f", tiny_yaml, "-n", "2", "-o", out_file])
+    m = loadmat(out_file)
+    assert "points" in m and m["points"].shape[0] == 2
