@@ -48,6 +48,11 @@ from dpcx.render.drc import drc_event_probabilities, drc_projection
 from dpcx.render.transform import pc_perspective_transform
 from dpcx.render.voxelize import ndc_to_grid
 
+# placement-matmul precision for the windowed path. HIGHEST (6-pass fp32
+# emulation) is the parity-safe default; perf experiments may override
+# (the one-hot operands are exact in bf16, only `contrib` rounds).
+PLACEMENT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _precision_zyx(scales_vox: jax.Array, rot: jax.Array) -> jax.Array:
     """Per-point precision matrix A = Sigma^-1 in (z, y, x) grid axes.
@@ -302,7 +307,7 @@ def anisotropic_density_grid_windowed(
                 "cyv,cwvx->cwyx",
                 Sy,
                 contrib,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=PLACEMENT_PRECISION,
             )  # [C, W, D, D]
             # MXU 2: z-placement + point reduction + color rows, one matmul
             Sz = (
@@ -313,7 +318,7 @@ def anisotropic_density_grid_windowed(
             add = jax.lax.dot(
                 M,
                 tmp.reshape(C * W, D * D),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=PLACEMENT_PRECISION,
             ).reshape(K, D, D, D)
             return acc + add, None
 

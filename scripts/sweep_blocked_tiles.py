@@ -1,15 +1,20 @@
-"""Sweep blocked-kernel tilings on real TPU at 128^3 flagship shapes."""
-import time
+"""Sweep blocked-kernel tilings on real TPU at 128^3 flagship shapes.
 
+Round-3 rewrite: device-side bench_scan timing (the original used
+host-side block_until_ready, which lies through the tunnel — NOTES.md),
+B=16 to match the shipped bench shapes.
+"""
 import jax
 import jax.numpy as jnp
 
 import dpcx.render.pallas_blocked as pb
 from dpcx.config import Config
 from dpcx.render.project import pointcloud_project_fn as pointcloud_project
+from dpcx.utils.timing import bench_scan
 
-D, N, B = 128, 16000, 4
-ITERS = 20
+D, N, B = 128, 16000, 16
+cfg = Config(vox_size=D, pc_num_points=N, renderer="pallas",
+             pallas_acc_dtype="bfloat16", proj_depth=False)
 pts = jax.random.uniform(
     jax.random.PRNGKey(0), (B, N, 3), minval=-0.4, maxval=0.4
 )
@@ -17,41 +22,31 @@ quat = jax.random.normal(jax.random.PRNGKey(1), (B, 4))
 quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
 sigma = jnp.asarray(0.02)
 tgt = jax.random.uniform(jax.random.PRNGKey(2), (B, D, D))
-cfg = Config(vox_size=D, pc_num_points=N, renderer="pallas",
-             pallas_acc_dtype="bfloat16", proj_depth=False)
 
 
 def run_one(tag):
-    @jax.jit
-    def fwd(p):
-        def body(carry, _):
-            sil = pointcloud_project(cfg, carry, quat, sigma).silhouette
-            return carry + 1e-20 * sil.sum(), sil[0, 0, 0]
-        _, s = jax.lax.scan(body, p, None, length=ITERS)
-        return s.sum()
-
-    @jax.jit
-    def fwdbwd(p):
-        def loss(q):
-            sil = pointcloud_project(cfg, q, quat, sigma).silhouette
-            return jnp.mean((sil - tgt) ** 2)
-        def body(carry, _):
-            g = jax.grad(loss)(carry)
-            return carry + 1e-20 * g.sum(), g[0, 0, 0]
-        _, s = jax.lax.scan(body, p, None, length=ITERS)
-        return s.sum()
-
     out = []
-    for f, lbl in ((fwd, "fwd"), (fwdbwd, "fb")):
+
+    def fwd_body(carry, p, q, sg):
+        sil = pointcloud_project(cfg, p + carry * 1e-17, q, sg).silhouette
+        return carry + 1e-17, sil.sum()
+
+    def fb_body(carry, p, q, sg, t):
+        def loss(p_):
+            sil = pointcloud_project(cfg, p_, q, sg).silhouette
+            return jnp.mean((sil - t) ** 2)
+
+        g = jax.grad(loss)(p + carry * 1e-17)
+        return carry + 1e-17, g.sum()
+
+    for lbl, body, ops, iters in (
+        ("fwd", fwd_body, (pts, quat, sigma), 60),
+        ("fb", fb_body, (pts, quat, sigma, tgt), 40),
+    ):
         try:
-            f(pts).block_until_ready()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                f(pts).block_until_ready()
-                best = min(best, (time.perf_counter() - t0) / ITERS)
-            out.append(f"{lbl} {B*N/best/1e6:.1f}")
-        except Exception as e:
+            sec = bench_scan(body, jnp.zeros(()), ops, iters=iters)
+            out.append(f"{lbl} {B * N / sec / 1e6:.1f}")
+        except Exception as e:  # noqa: BLE001 — report and move on
             out.append(f"{lbl} FAIL({str(e)[:60]})")
     print(f"{tag}: " + " | ".join(out) + " Mpts/s", flush=True)
 
@@ -59,14 +54,11 @@ def run_one(tag):
 for ov in (
     {},                                  # defaults: Dz32 G4 C128 Gby1
     {"G": 2},
-    {"G": 1},
+    {"G": 8},
     {"C": 256},
-    {"C": 256, "G": 2},
     {"Dz": 64},
     {"Dz": 64, "G": 2},
     {"Gby": 2},
-    {"Gby": 4},
-    {"Dz": 64, "G": 2, "C": 256},
 ):
     pb.TILE_OVERRIDES.clear()
     pb.TILE_OVERRIDES.update(ov)
