@@ -339,6 +339,56 @@ def anisotropic_density_grid_windowed(
     return density, rgb_grid
 
 
+def anisotropic_density_grid_pallas(
+    points_ndc: jax.Array,
+    scales_ndc: jax.Array,
+    rot: jax.Array,
+    vox_size: int,
+    point_weights: jax.Array | None = None,
+    rgb: jax.Array | None = None,
+    truncate: float = 3.0,
+    acc_dtype: str = "float32",
+    interpret: bool = False,
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Pallas TPU fast path (dpcx/render/pallas_gsplat.py): z-sorted
+    per-point windows, same anisotropic semantics as the dense oracle
+    up to `truncate`-sigma_z truncation along depth."""
+    from dpcx.geometry.quaternion import quaternion_to_matrix
+    from dpcx.render.pallas_gsplat import aniso_density_pallas
+
+    B, N, _ = points_ndc.shape
+    D = vox_size
+    mu = ndc_to_grid(points_ndc, D)
+    s_vox = scales_ndc * D
+    A = _precision_zyx(s_vox, rot)
+    A6 = jnp.stack(
+        [A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+         A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]],
+        axis=-1,
+    )
+    norm = (2.0 * jnp.pi) ** (-1.5) / jnp.maximum(
+        jnp.prod(s_vox, axis=-1), 1e-12
+    )
+    w = norm if point_weights is None else norm * point_weights
+    # z-extent of the truncate-sigma ellipsoid: sqrt(Sigma_zz), with
+    # Sigma = R diag(s^2) R^T in xyz axes and z = xyz index 2
+    Rm = quaternion_to_matrix(rot)
+    sigma_zz = jnp.sum(Rm[..., 2, :] ** 2 * s_vox**2, axis=-1)
+    rz = truncate * jnp.sqrt(jnp.maximum(sigma_zz, 1e-12))
+    rgb_in = (
+        jnp.zeros((B, N, 3), mu.dtype) if rgb is None else rgb
+    )
+    dens, cols = aniso_density_pallas(
+        mu, A6, w, rgb_in, rz, D, acc_dtype, interpret
+    )
+    if rgb is None:
+        return dens
+    rgb_grid = jnp.moveaxis(cols, 1, -1) / jnp.maximum(
+        dens[..., None], 1e-6
+    )
+    return dens, rgb_grid
+
+
 def alpha_from_density(density: jax.Array) -> jax.Array:
     """Exact volumetric compositing transform: alpha = 1 - exp(-density)."""
     return 1.0 - jnp.exp(-density)
@@ -371,7 +421,12 @@ def gsplat_project(
         translation=translation,
     )
     rot_cam = quaternion_multiply(quat[:, None, :], rot)
-    if cfg.gsplat_impl == "windowed":
+    if cfg.gsplat_impl == "pallas":
+        out = anisotropic_density_grid_pallas(
+            ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb,
+            acc_dtype=cfg.pallas_acc_dtype,
+        )
+    elif cfg.gsplat_impl == "windowed":
         out = anisotropic_density_grid_windowed(
             ndc,
             scales_ndc,
