@@ -348,13 +348,17 @@ def anisotropic_density_grid_pallas(
     rgb: jax.Array | None = None,
     truncate: float = 3.0,
     acc_dtype: str = "float32",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Pallas TPU fast path (dpcx/render/pallas_gsplat.py): z-sorted
     per-point windows, same anisotropic semantics as the dense oracle
-    up to `truncate`-sigma_z truncation along depth."""
+    up to `truncate`-sigma_z truncation along depth. interpret=None
+    auto-selects interpret mode off-TPU (CPU tests/dryrun)."""
     from dpcx.geometry.quaternion import quaternion_to_matrix
     from dpcx.render.pallas_gsplat import aniso_density_pallas
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     B, N, _ = points_ndc.shape
     D = vox_size

