@@ -193,3 +193,20 @@ def test_dp_scan_with_pallas_gsplat():
     np.testing.assert_allclose(
         float(m1["loss_total"]), float(m2["loss_total"]), rtol=2e-3
     )
+
+
+def test_bf16_acc_mode_close_to_f32():
+    """bfloat16 perf mode (bf16 MXU operands, f32 accumulate) tracks the
+    f32 parity mode within bf16 tolerance — the acc_dtype the production
+    rgb_splats config trains with."""
+    pts, scales, rot, opac, rgb = _inputs(5)
+    d32, c32 = anisotropic_density_grid_pallas(
+        pts, scales, rot, D, point_weights=opac, rgb=rgb,
+        truncate=100.0, acc_dtype="float32", interpret=True,
+    )
+    d16, c16 = anisotropic_density_grid_pallas(
+        pts, scales, rot, D, point_weights=opac, rgb=rgb,
+        truncate=100.0, acc_dtype="bfloat16", interpret=True,
+    )
+    ref = float(jnp.max(jnp.abs(d32))) + 1e-12
+    assert float(jnp.max(jnp.abs(d16 - d32))) / ref < 2e-2
