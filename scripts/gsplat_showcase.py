@@ -34,6 +34,10 @@ p.add_argument("--steps", type=int, default=6000)
 p.add_argument("--models", type=int, default=200)
 p.add_argument("--tag", default="")
 p.add_argument("--cpu", action="store_true")
+p.add_argument("--impl", default="windowed",
+               choices=["windowed", "dense", "pallas"],
+               help="gsplat density formulation (pallas = the native"
+               " kernel, pallas_gsplat.py)")
 p.add_argument("--small", action="store_true",
                help="tiny shapes for a smoke run")
 p.add_argument("--log-every", type=int, default=100,
@@ -47,6 +51,7 @@ if args.cpu:
 # rgb_splats.yaml settings (experiments/rgb_splats.yaml) + lowfreq texture
 cfg = Config(
     name="gsplat_showcase",
+    gsplat_impl=args.impl,
     category="chair",
     checkpoint_dir="/tmp/dpcx_gsplat_showcase",
     pc_num_points=4096,
