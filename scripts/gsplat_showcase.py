@@ -163,6 +163,8 @@ res = {
 }
 Path("artifacts").mkdir(exist_ok=True)
 tag = f"_{args.tag}" if args.tag else ""
+if args.small and not args.tag:
+    tag = "_smoke"  # never clobber the real showcase artifacts
 Path(f"artifacts/gsplat_novel_view{tag}.json").write_text(
     json.dumps(res, indent=1)
 )
