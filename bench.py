@@ -19,6 +19,9 @@ Extra keys (VERDICT round-1 item 4, round-2 missing 3+4):
 - fwdbwd_value / d128_fwdbwd_value: fwd + handwritten backward (the
   training path's render cost) at 64^3 / 128^3
 - d128_value: depth-blocked kernel at 128^3, bf16, fwd, B=16
+- gsplat_fwdbwd_value / gsplat_pallas_fwdbwd_value: BASELINE config 5
+  renderer (anisotropic RGB alpha-splats) fwd+bwd, windowed XLA path vs
+  the native pallas kernel
 - health_mpts / degraded: fixed-shape probe vs bench_health.json — a
   crashed-and-restarted worker leaves the process ~40% slow; degraded
   benches are flagged instead of silently recorded
@@ -69,17 +72,20 @@ def measure_bwd(cfg, pts, quat, sigma, iters):
     )
 
 
-def measure_gsplat(iters=60):
-    """BASELINE config 5 renderer: anisotropic RGB alpha-splats through
-    the windowed matmul-scatter path at the rgb_splats.yaml shapes
-    (B=8 render batch, N=4096, D=32), fwd+bwd through points/scales/
-    opacity (the training cost). Mpts/s."""
+def measure_gsplat(iters=60, impl="windowed"):
+    """BASELINE config 5 renderer: anisotropic RGB alpha-splats at the
+    rgb_splats.yaml shapes (B=8 render batch, N=4096, D=32), fwd+bwd
+    through points/scales/opacity (the training cost). Mpts/s.
+
+    impl="windowed" is the round-3a number kept for comparability;
+    impl="pallas" is the native kernel (dpcx/render/pallas_gsplat.py)."""
     from dpcx.render.gsplat import gsplat_project
     from dpcx.utils.timing import bench_scan
 
     cfg = Config(
         vox_size=32, pc_num_points=4096, pc_rgb=True, pc_gauss=True,
         gauss_scale_min=0.005, gauss_scale_max=0.06,
+        gsplat_impl=impl,
     )
     B, N = 8, 4096
     key = jax.random.PRNGKey(5)
@@ -90,9 +96,11 @@ def measure_gsplat(iters=60):
     opac = jax.random.uniform(jax.random.PRNGKey(7), (B, N))
     rgb = jax.random.uniform(jax.random.PRNGKey(8), (B, N, 3))
 
-    def body(carry, p, s, o):
+    # quat/rot/rgb ride the operand tuple so they reach any pallas call
+    # as jit arguments, not closure constants (dispatch cliff, NOTES.md)
+    def body(carry, p, s, o, q, r, cg):
         def loss(p_, s_, o_):
-            out = gsplat_project(cfg, p_, quat, s_, rot, o_, rgb)
+            out = gsplat_project(cfg, p_, q, s_, r, o_, cg)
             return out.silhouette.sum() + out.rgb.sum()
 
         gp, gs, go = jax.grad(loss, argnums=(0, 1, 2))(
@@ -100,7 +108,10 @@ def measure_gsplat(iters=60):
         )
         return carry + 1e-17, gp.sum() + gs.sum() + go.sum()
 
-    sec = bench_scan(body, jnp.zeros(()), (pts, scales, opac), iters=iters)
+    sec = bench_scan(
+        body, jnp.zeros(()), (pts, scales, opac, quat, rot, rgb),
+        iters=iters,
+    )
     return B * N / sec / 1e6
 
 
@@ -202,33 +213,55 @@ def main() -> None:
         "unit": "Mpoints/s",
         "vs_baseline": round(mpts / 100.0, 3),
     }
+
+    def extra(key, fn):
+        # a broken extra (new-kernel Mosaic failure, OOM) must not take
+        # down the headline record — record the error string instead
+        try:
+            rec[key] = round(fn(), 2)
+        except Exception as e:  # noqa: BLE001
+            rec[key] = None
+            rec[key + "_error"] = str(e)[:200]
+
     if on_tpu:
         rec.update(health_probe())
-        rec["fp32_value"] = round(
-            measure(cfg("float32"), pts, quat, sigma, iters), 2
+        extra(
+            "fp32_value",
+            lambda: measure(cfg("float32"), pts, quat, sigma, iters),
         )
         # same key=0 inputs round 1 used, for apples-to-apples
         # round-over-round comparison (ADVICE r2)
         pts16, quat16 = _inputs(16, N)
-        rec["b16_value"] = round(
-            measure(cfg("bfloat16"), pts16, quat16, sigma, 150), 2
+        extra(
+            "b16_value",
+            lambda: measure(cfg("bfloat16"), pts16, quat16, sigma, 150),
         )
         # training-path render cost: fwd + handwritten backward
-        rec["fwdbwd_value"] = round(
-            measure_bwd(cfg("bfloat16"), pts16, quat16, sigma, 100), 2
+        extra(
+            "fwdbwd_value",
+            lambda: measure_bwd(
+                cfg("bfloat16"), pts16, quat16, sigma, 100
+            ),
         )
         # 128^3 depth-blocked kernel at B=16 (B=4/33-iter numbers were
         # tunnel-variance noisy — VERDICT r2 missing 4) + fwd+bwd
         pts128, quat128 = _inputs(16, 16000, key=4)
         c128 = cfg("bfloat16", vox=128, n=16000)
-        rec["d128_value"] = round(
-            measure(c128, pts128, quat128, sigma, 100), 2
+        extra(
+            "d128_value",
+            lambda: measure(c128, pts128, quat128, sigma, 100),
         )
-        rec["d128_fwdbwd_value"] = round(
-            measure_bwd(c128, pts128, quat128, sigma, 60), 2
+        extra(
+            "d128_fwdbwd_value",
+            lambda: measure_bwd(c128, pts128, quat128, sigma, 60),
         )
-        # BASELINE config 5 renderer (windowed gsplat, fwd+bwd)
-        rec["gsplat_fwdbwd_value"] = round(measure_gsplat(), 2)
+        # BASELINE config 5 renderer (fwd+bwd): windowed XLA path (kept
+        # for round-over-round comparability) + the native pallas kernel
+        extra("gsplat_fwdbwd_value", measure_gsplat)
+        extra(
+            "gsplat_pallas_fwdbwd_value",
+            lambda: measure_gsplat(impl="pallas"),
+        )
         rec["parity"] = {
             mode: parity(cfg(mode), pts, quat, sigma)
             for mode in ("float32", "bfloat16")

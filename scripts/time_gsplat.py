@@ -11,12 +11,18 @@ Device-side bench_scan timing. Findings feed NOTES.md and the gsplat
 fast-path work.
 """
 import json
+import sys
 
 import jax
 import jax.numpy as jnp
 
 import dpcx.render.gsplat as gs
 from dpcx.utils.timing import bench_scan
+
+PART2 = "--part2" in sys.argv
+DENSE64 = "--dense64" in sys.argv  # WARNING: this graph crashed the TPU
+# worker once (NOTES.md round-3 worker note) — only run it when nothing
+# else is queued behind it.
 
 B, N, D = 8, 4096, 32
 key = jax.random.PRNGKey(5)
@@ -72,27 +78,91 @@ def windowed_fb(chunk, remat):
     return body
 
 
-def dense_fwd():
+def dense_fwd(d=D):
     def body(carry, p, s, o):
         dens, col = gs.anisotropic_density_grid(
-            p + carry * 1e-17, s, rot, D, point_weights=o, rgb=rgb
+            p + carry * 1e-17, s, rot, d, point_weights=o, rgb=rgb
         )
         return carry + 1e-17, dens.sum() + col.sum()
 
     return body
 
 
-for prec_name, prec in (
-    ("hi", jax.lax.Precision.HIGHEST),
-    ("def", jax.lax.Precision.DEFAULT),
-):
-    gs.PLACEMENT_PRECISION = prec
-    for chunk in (128, 512):
-        run(f"win_fwd_c{chunk}_{prec_name}",
-            windowed_fwd(chunk, True), (pts, scales, opac))
-        run(f"win_fb_c{chunk}_{prec_name}_remat",
-            windowed_fb(chunk, True), (pts, scales, opac), iters=20)
-    run(f"win_fb_c128_{prec_name}_norematt",
-        windowed_fb(128, False), (pts, scales, opac), iters=20)
-gs.PLACEMENT_PRECISION = jax.lax.Precision.HIGHEST
-run("dense_fwd", dense_fwd(), (pts, scales, opac), iters=10)
+if not PART2:
+    for prec_name, prec in (
+        ("hi", jax.lax.Precision.HIGHEST),
+        ("def", jax.lax.Precision.DEFAULT),
+    ):
+        gs.PLACEMENT_PRECISION = prec
+        for chunk in (128, 512):
+            run(f"win_fwd_c{chunk}_{prec_name}",
+                windowed_fwd(chunk, True), (pts, scales, opac))
+            run(f"win_fb_c{chunk}_{prec_name}_remat",
+                windowed_fb(chunk, True), (pts, scales, opac), iters=20)
+        run(f"win_fb_c128_{prec_name}_norematt",
+            windowed_fb(128, False), (pts, scales, opac), iters=20)
+    gs.PLACEMENT_PRECISION = jax.lax.Precision.HIGHEST
+    run("dense_fwd", dense_fwd(), (pts, scales, opac), iters=10)
+
+
+# --- round-3b (--part2): pallas aniso kernel vs dense, fwd and fwd+bwd ---
+def dense_fb(d):
+    def body(carry, p, s, o):
+        def loss(p_, s_, o_):
+            dens, col = gs.anisotropic_density_grid(
+                p_, s_, rot, d, point_weights=o_, rgb=rgb
+            )
+            return dens.sum() + col.sum()
+
+        gp, gs_, go = jax.grad(loss, argnums=(0, 1, 2))(
+            pts + carry * 1e-17, s, o
+        )
+        return carry + 1e-17, gp.sum() + gs_.sum() + go.sum()
+
+    return body
+
+
+# rot/rgb must reach the pallas call as JIT ARGUMENTS, not closure
+# constants (constant-operand dispatch cliff, NOTES.md) — thread them
+# through the operand tuple.
+def pallas_fwd(d, acc="float32"):
+    def body(carry, p, s, o, r, cg):
+        dens, col = gs.anisotropic_density_grid_pallas(
+            p + carry * 1e-17, s, r, d, point_weights=o, rgb=cg,
+            acc_dtype=acc,
+        )
+        return carry + 1e-17, dens.sum() + col.sum()
+
+    return body
+
+
+def pallas_fb(d, acc="float32"):
+    def body(carry, p, s, o, r, cg):
+        def loss(p_, s_, o_):
+            dens, col = gs.anisotropic_density_grid_pallas(
+                p_, s_, r, d, point_weights=o_, rgb=cg, acc_dtype=acc
+            )
+            return dens.sum() + col.sum()
+
+        gp, gs_, go = jax.grad(loss, argnums=(0, 1, 2))(
+            p + carry * 1e-17, s, o
+        )
+        return carry + 1e-17, gp.sum() + gs_.sum() + go.sum()
+
+    return body
+
+
+if PART2:
+    for d in (32, 64):
+        for acc in ("float32", "bfloat16"):
+            run(f"pallas_fwd_d{d}_{acc}", pallas_fwd(d, acc),
+                (pts, scales, opac, rot, rgb), iters=60)
+            run(f"pallas_fb_d{d}_{acc}", pallas_fb(d, acc),
+                (pts, scales, opac, rot, rgb), iters=30)
+    run("dense_fb_d32", dense_fb(32), (pts, scales, opac), iters=10)
+    # dense fwd at D=64 is safe (fwd-only); the fwd+bwd graph at D=64 is
+    # the one that crashed the worker — gated behind --dense64.
+    run("dense_fwd_d64", dense_fwd(64), (pts, scales, opac), iters=5)
+    if DENSE64:
+        run("dense_fb_d64_DANGER", dense_fb(64), (pts, scales, opac),
+            iters=5)
