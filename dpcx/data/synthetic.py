@@ -85,6 +85,38 @@ def _car_boxes(u: jax.Array) -> jax.Array:
     return jnp.asarray([body, cabin] + wheels + [mirror])
 
 
+def _car_asym_boxes(u: jax.Array) -> jax.Array:
+    """Identifiability CONTROL variant of the car (POSE_RESULTS findings
+    8-9, NOTES round-3 candidate 4): the cab is strongly REAR-SET
+    (pickup-truck-like), so the front/back silhouette symmetry — the
+    180-degree mirror mode that dominates car pose errors — is broken by
+    SHAPE. If unsupervised pose locks here with the same recipe that
+    fails on `car`, the car failure is a data-identifiability limit of
+    the near-symmetric synthetic family, not a framework limit."""
+    body_h = 0.10 + 0.04 * u[0]
+    body_w = 0.18 + 0.06 * u[1]
+    body_l = 0.40 + 0.08 * u[2]
+    cab_h = 0.11 + 0.05 * u[3]  # taller than the sedan cabin
+    cab_l = body_l * (0.30 + 0.10 * u[4])
+    wheel_r = 0.05 + 0.02 * u[5]
+    body_y = -0.5 + 2 * wheel_r + body_h
+    body = [0.0, body_y, 0.0, body_w, body_h, body_l]
+    # cab centered over the rear axle instead of mid-body
+    cabin = [0.0, body_y + body_h + cab_h, -(body_l - cab_l) * 0.85,
+             body_w * 0.85, cab_h, cab_l]
+    wheels = [
+        [sx * body_w, -0.5 + wheel_r, sz * body_l * 0.6,
+         wheel_r * 0.5, wheel_r, wheel_r]
+        for sx in (-1, 1)
+        for sz in (-1, 1)
+    ]
+    # keep the one-sided mirror stalk so left/right stays broken too
+    mirror = [body_w + 0.02, body_y + body_h + cab_h * 0.8,
+              -(body_l - cab_l) * 0.85 + cab_l * 0.9,
+              0.02, 0.02 + 0.01 * u[6], 0.015]
+    return jnp.asarray([body, cabin] + wheels + [mirror])
+
+
 def _airplane_boxes(u: jax.Array) -> jax.Array:
     fus_r = 0.04 + 0.02 * u[0]
     fus_l = 0.40 + 0.08 * u[1]
@@ -106,8 +138,12 @@ def _airplane_boxes(u: jax.Array) -> jax.Array:
 
 
 _CATEGORY_FNS = {"chair": _chair_boxes, "car": _car_boxes,
-                 "airplane": _airplane_boxes}
+                 "airplane": _airplane_boxes,
+                 "car_asym": _car_asym_boxes}
 CATEGORIES = tuple(_CATEGORY_FNS)
+# "multi" datasets (BASELINE config 4) cycle the reference's trio only;
+# car_asym is appended AFTER so existing category_idx values are stable
+MULTI_CATEGORIES = CATEGORIES[:3]
 
 
 def _sample_box_surface(
@@ -310,7 +346,10 @@ def make_dataset(
     category = category or cfg.category
     keys = jax.random.split(jax.random.PRNGKey(seed), num_models)
     if category == "multi":
-        cats = [CATEGORIES[i % len(CATEGORIES)] for i in range(num_models)]
+        cats = [
+            MULTI_CATEGORIES[i % len(MULTI_CATEGORIES)]
+            for i in range(num_models)
+        ]
     else:
         if category not in _CATEGORY_FNS:
             category = "chair"

@@ -75,6 +75,40 @@ def test_multi_category_dataset():
     assert b["image"].shape[0] == 3
 
 
+def test_car_asym_breaks_mirror_mode():
+    """The car_asym control category (POSE_RESULTS findings 8-9): its
+    rear-set cab must make the 180-deg azimuth mirror mode — the gauge
+    that dominates car pose errors — substantially more visible in
+    silhouette than the near-symmetric sedan, at or near the level of
+    the robustly-lockable chair."""
+    from dpcx.geometry.camera import camera_from_view_angles
+    from dpcx.render.project import pointcloud_project_fn
+
+    cfg = Config(vox_size=32, pc_num_points=1000)
+
+    def mirror_residual(cat):
+        rels = []
+        for seed in range(2):
+            pts = sample_category_points(jax.random.PRNGKey(seed), cat, 1000)
+            for az in (0.3, 1.0, 2.0):
+                q0, _ = camera_from_view_angles(jnp.asarray(az),
+                                                jnp.asarray(0.3))
+                q1, _ = camera_from_view_angles(jnp.asarray(az + jnp.pi),
+                                                jnp.asarray(0.3))
+                s0 = pointcloud_project_fn(
+                    cfg, pts[None], q0[None], jnp.asarray(0.02)
+                ).silhouette
+                s1 = pointcloud_project_fn(
+                    cfg, pts[None], q1[None], jnp.asarray(0.02)
+                ).silhouette
+                d = float(jnp.abs(s0 - s1[:, :, ::-1]).mean())
+                rels.append(d / float(jnp.abs(s0).mean()))
+        return float(np.mean(rels))
+
+    car, asym = mirror_residual("car"), mirror_residual("car_asym")
+    assert asym > car * 1.15, (car, asym)
+
+
 def test_load_external_shards(tmp_path):
     """External npz ingestion (real-data path) concatenates shards and
     fills optional fields."""
