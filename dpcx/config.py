@@ -34,9 +34,14 @@ class Config:
     pc_gauss: bool = False
     gauss_scale_min: float = 0.005     # per-axis stddev bounds, NDC units
     gauss_scale_max: float = 0.06
-    gsplat_impl: str = "windowed"      # windowed (per-point windows +
-                                       # matmul-scatter, TPU-fast) | dense
-                                       # (all-cells oracle)
+    gsplat_impl: str = "dense"         # dense (all-cells oracle; runs at
+                                       # VPU f32 speed-of-light — NOTES
+                                       # r3 measurements) | pallas
+                                       # (z-sorted window kernel, the
+                                       # native fast path) | windowed
+                                       # (one-hot matmul-scatter;
+                                       # measured a PESSIMIZATION on TPU,
+                                       # kept for comparison)
     gsplat_remat: bool = True          # checkpoint the windowed point-chunk
                                        # scan body: recomputing one chunk's
                                        # VPU exps in the backward is nearly
