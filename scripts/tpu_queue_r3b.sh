@@ -16,6 +16,10 @@ timeout 1200 python scripts/pose_r2.py --tag car_asym_silonly_b8 \
   --category car_asym --k 8 --batch 8 --lr 1e-4 --log-every 200 \
   > /tmp/r3b_pose_car_asym.log 2>&1
 
+timeout 1200 python scripts/pose_r2.py --tag car_asym_silonly_b8_s1 \
+  --category car_asym --seed 1 --k 8 --batch 8 --lr 1e-4 --log-every 200 \
+  > /tmp/r3b_pose_car_asym_s1.log 2>&1
+
 timeout 1200 python scripts/pose_r2.py --tag car_silonly_b8_s2 \
   --category car --seed 2 --k 8 --batch 8 --lr 1e-4 --log-every 200 \
   > /tmp/r3b_pose_car_s2.log 2>&1
@@ -26,5 +30,8 @@ timeout 1200 python scripts/pose_r2.py --tag car_silonly_b8_s3 \
 
 timeout 3600 python scripts/time_gsplat.py --part2 \
   > /tmp/r3b_time_gsplat.log 2>&1
+
+timeout 5400 python scripts/gsplat_showcase.py --impl pallas \
+  --tag pallas --log-every 200 > /tmp/r3b_showcase_pallas.log 2>&1
 
 echo QUEUE_DONE
