@@ -31,9 +31,17 @@ Extra keys (VERDICT round-1 item 4, round-2 missing 3+4):
 """
 
 import json
+import os
 import sys
 
 import jax
+
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
+# honor an explicit cpu request (tests, driverless smoke) the only way
+# that works on this runtime (NOTES.md).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from dpcx.config import Config

@@ -33,6 +33,33 @@ def pose_error_metrics(
     }
 
 
+# pi about the object's vertical (y) axis, (w, x, y, z) — the azimuth
+# mirror mode that dominates unsupervised-pose errors on near-symmetric
+# categories (artifacts/POSE_RESULTS.md findings 8-9)
+FLIP_QUAT = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+
+
+def pose_error_metrics_up_to_flip(
+    aligned_pred: jax.Array, gt_quats: jax.Array
+) -> dict[str, jax.Array]:
+    """Diagnostic variant of :func:`pose_error_metrics`: each sample may
+    additionally compose the 180-degree vertical-axis flip on the object
+    side (``aligned_pred`` must already be in the GT canonical frame, i.e.
+    the output of :func:`align_canonical_frame`). Quantifies how much of
+    the pose error is the discrete azimuth mirror gauge: a category whose
+    plain acc@30 is ~0.5 but flip-aware acc is ~1.0 is mirror-limited,
+    not noisy. ``flip_rate`` is the fraction of samples the flip helps."""
+    e0 = quaternion_angular_distance(aligned_pred, gt_quats)
+    flipped = quaternion_multiply(aligned_pred, FLIP_QUAT[None])
+    e1 = quaternion_angular_distance(flipped, gt_quats)
+    deg = jnp.minimum(e0, e1) * 180.0 / jnp.pi
+    return {
+        "acc_30deg_up_to_flip": jnp.mean((deg <= 30.0).astype(jnp.float32)),
+        "median_err_deg_up_to_flip": jnp.median(deg),
+        "flip_rate": jnp.mean((e1 < e0).astype(jnp.float32)),
+    }
+
+
 def _rotation_grid(n: int = 512) -> jax.Array:
     """Quasi-uniform grid of unit quaternions (super-Fibonacci-ish spiral)."""
     i = jnp.arange(n, dtype=jnp.float32) + 0.5

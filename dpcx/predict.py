@@ -146,6 +146,29 @@ def evaluate(
         pm = pose_error_metrics(aligned, gt_quats)
         metrics["pose_acc_30deg"] = float(pm["acc_30deg"])
         metrics["pose_median_err_deg"] = float(pm["median_err_deg"])
+        # mirror-gauge diagnostic (POSE_RESULTS findings 8-9): score each
+        # sample up to the vertical-axis flip. One re-alignment round with
+        # flip-corrected quats, since half-flipped samples bias the
+        # global alignment itself.
+        from dpcx.eval.pose_metrics import (
+            FLIP_QUAT,
+            pose_error_metrics_up_to_flip,
+        )
+        from dpcx.geometry.quaternion import quaternion_multiply
+
+        e0 = pose_error_metrics(aligned, gt_quats)["angular_err_deg"]
+        flipped = quaternion_multiply(aligned, FLIP_QUAT[None])
+        e1 = pose_error_metrics(flipped, gt_quats)["angular_err_deg"]
+        corrected = jnp.where((e1 < e0)[:, None], flipped, aligned)
+        _, re_aligned = align_canonical_frame(corrected, gt_quats)
+        fm = pose_error_metrics_up_to_flip(re_aligned, gt_quats)
+        metrics["pose_acc_30deg_up_to_flip"] = float(
+            fm["acc_30deg_up_to_flip"]
+        )
+        metrics["pose_median_err_deg_up_to_flip"] = float(
+            fm["median_err_deg_up_to_flip"]
+        )
+        metrics["pose_flip_rate"] = float(fm["flip_rate"])
         from dpcx.geometry.quaternion import (
             quaternion_conjugate,
             quaternion_rotate,

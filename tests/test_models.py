@@ -286,6 +286,72 @@ def test_canonical_alignment_refinement_recovers_offset():
     assert med < 2.0, med
 
 
+def test_pose_metrics_up_to_flip():
+    """The mirror-gauge diagnostic: with 30% of samples carrying the
+    vertical-axis 180-deg flip (the dominant error mode on
+    near-symmetric categories), plain acc@30 sees only the majority
+    gauge while the flip-aware metric scores ~1.0 and reports the flip
+    fraction."""
+    from dpcx.eval.pose_metrics import (
+        FLIP_QUAT,
+        align_canonical_frame,
+        pose_error_metrics_up_to_flip,
+    )
+    from dpcx.geometry.quaternion import (
+        quaternion_conjugate,
+        quaternion_multiply,
+        quaternion_normalize,
+    )
+
+    rng = np.random.default_rng(3)
+    gt = quaternion_normalize(
+        jnp.asarray(rng.normal(size=(40, 4)), jnp.float32)
+    )
+    c = quaternion_normalize(jnp.asarray([0.8, 0.1, 0.5, -0.2]))
+    flip_mask = jnp.asarray(
+        (np.arange(40) % 10 < 3)[:, None]
+    )  # 30% flipped
+    gauged = jnp.where(
+        flip_mask, quaternion_multiply(gt, FLIP_QUAT[None]), gt
+    )
+    pred = quaternion_multiply(gauged, quaternion_conjugate(c)[None])
+    _, aligned = align_canonical_frame(pred, gt)
+    pm = pose_error_metrics(aligned, gt)
+    fm = pose_error_metrics_up_to_flip(aligned, gt)
+    assert float(pm["acc_30deg"]) <= 0.75  # plain metric sees the flips
+    assert float(fm["acc_30deg_up_to_flip"]) > 0.95
+    np.testing.assert_allclose(float(fm["flip_rate"]), 0.3, atol=0.05)
+    assert float(fm["median_err_deg_up_to_flip"]) < 3.0
+
+
+def test_evaluate_reports_flip_metrics():
+    """evaluate() on a predicted-pose config must report the mirror-gauge
+    diagnostics alongside the plain pose metrics, and the flip-aware
+    accuracy can only improve on the plain one."""
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.predict import evaluate
+    from dpcx.train import create_state
+
+    cfg = Config(
+        vox_size=12, mask_size=12, pc_num_points=64, image_size=32,
+        encoder_filters=(8,), latent_dim=32, fc_hidden=32,
+        pc_decoder_hidden=(32,), num_views=2,
+        predict_pose=True, pose_predict_num_candidates=2,
+    )
+    ds = Dataset(make_dataset(cfg, 2, seed=0, gt_points=128), cfg)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    m = evaluate(cfg, st.params, ds, batch_size=2)
+    for k in (
+        "pose_acc_30deg",
+        "pose_acc_30deg_up_to_flip",
+        "pose_median_err_deg_up_to_flip",
+        "pose_flip_rate",
+    ):
+        assert k in m and np.isfinite(m[k]), k
+    assert m["pose_acc_30deg_up_to_flip"] >= m["pose_acc_30deg"] - 1e-6
+
+
 def test_pose_rgb_loss_runs_and_grads():
     """predicted-pose + pc_rgb: color is rendered for EVERY candidate,
     enters the hard-min selection, and contributes a finite loss and
