@@ -5,11 +5,13 @@ Reference parity: dpc/util/point_cloud_distance.py + eval logic in dpc/run/
 """
 
 from dpcx.eval.chamfer import chamfer_distance, directed_distance
+from dpcx.eval.iou import voxel_iou
 from dpcx.eval.pose_metrics import pose_error_metrics, align_canonical_frame
 
 __all__ = [
     "chamfer_distance",
     "directed_distance",
+    "voxel_iou",
     "pose_error_metrics",
     "align_canonical_frame",
 ]

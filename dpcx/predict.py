@@ -185,4 +185,10 @@ def evaluate(
             "chamfer_gt_to_pred": float(jnp.mean(cd["gt_to_pred"])),
         }
     )
+    # volumetric overlap (DRC-family voxel metric) at D=16 — the highest
+    # resolution the production point budgets keep sampling-floor-free
+    # (see dpcx/eval/iou.py docstring for the calibration)
+    from dpcx.eval.iou import voxel_iou
+
+    metrics["iou_3d_16"] = float(jnp.mean(voxel_iou(pred_pts, gt, 16)))
     return metrics

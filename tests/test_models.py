@@ -324,6 +324,23 @@ def test_pose_metrics_up_to_flip():
     assert float(fm["median_err_deg_up_to_flip"]) < 3.0
 
 
+def test_voxel_iou():
+    """3D IoU identities: same cloud -> 1; disjoint octants -> 0;
+    half-overlapping -> strictly between."""
+    from dpcx.eval.iou import voxel_iou
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(
+        rng.uniform(-0.45, -0.05, size=(2, 600, 3)), jnp.float32
+    )
+    b = jnp.asarray(rng.uniform(0.05, 0.45, size=(2, 600, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(voxel_iou(a, a, 16)), 1.0)
+    np.testing.assert_allclose(np.asarray(voxel_iou(a, b, 16)), 0.0)
+    mix = jnp.concatenate([a[:, :300], b[:, :300]], axis=1)
+    v = np.asarray(voxel_iou(a, mix, 16))
+    assert np.all(v > 0.2) and np.all(v < 0.9), v
+
+
 def test_evaluate_reports_flip_metrics():
     """evaluate() on a predicted-pose config must report the mirror-gauge
     diagnostics alongside the plain pose metrics, and the flip-aware
@@ -347,6 +364,7 @@ def test_evaluate_reports_flip_metrics():
         "pose_acc_30deg_up_to_flip",
         "pose_median_err_deg_up_to_flip",
         "pose_flip_rate",
+        "iou_3d_16",
     ):
         assert k in m and np.isfinite(m[k]), k
     assert m["pose_acc_30deg_up_to_flip"] >= m["pose_acc_30deg"] - 1e-6
