@@ -54,9 +54,15 @@ def cmd_eval(args) -> None:
     ds = load_or_make(cfg, args.num_models, seed=cfg.seed + 1)  # held out
     # --all-views sweeps EVERY view per model and pools predictions — the
     # reference's predict_eval protocol (stronger statistic than view 0)
-    metrics = evaluate(
-        cfg, state.params, ds, view_idx=None if args.all_views else 0
-    )
+    view_idx = None if args.all_views else 0
+    if args.per_category:
+        from dpcx.predict import evaluate_category_slices
+
+        metrics = evaluate_category_slices(
+            cfg, state.params, ds, view_idx=view_idx
+        )
+    else:
+        metrics = evaluate(cfg, state.params, ds, view_idx=view_idx)
     print(json.dumps(metrics))
 
 
@@ -165,6 +171,11 @@ def main(argv=None) -> None:
             sp.add_argument(
                 "--all-views", action="store_true",
                 help="evaluate every view per model (pooled), not view 0",
+            )
+            sp.add_argument(
+                "--per-category", action="store_true",
+                help="per-category metric table + mean row (joint "
+                "'multi' models; reference per-ShapeNet-category table)",
             )
         if name == "convert":
             sp.add_argument("-i", "--inp", required=True,

@@ -100,6 +100,39 @@ def evaluate_categories(
     return table
 
 
+def evaluate_category_slices(
+    cfg: Config,
+    params,
+    dataset: Dataset,
+    batch_size: int = 16,
+    view_idx: int | None = 0,
+) -> dict[str, dict[str, float]]:
+    """Per-category breakdown of ONE jointly-trained model on a "multi"
+    dataset (BASELINE config 4): slice the records by ``category_idx``,
+    evaluate each slice with the same params, and append a mean row —
+    the reference's per-ShapeNet-category table for the joint model
+    (SURVEY.md §2.2 #18)."""
+    from dpcx.data.synthetic import CATEGORIES
+
+    idx = np.asarray(dataset.records["category_idx"])
+    table: dict[str, dict[str, float]] = {}
+    for ci in sorted(set(idx.tolist())):
+        sel = np.nonzero(idx == ci)[0]
+        sub = Dataset(
+            jax.tree.map(lambda x: x[sel], dataset.records), cfg
+        )
+        table[CATEGORIES[ci]] = evaluate(
+            cfg, params, sub,
+            batch_size=min(batch_size, len(sel)), view_idx=view_idx,
+        )
+    keys = next(iter(table.values())).keys()
+    table["mean"] = {
+        k: float(np.mean([v[k] for v in table.values() if k in v]))
+        for k in keys
+    }
+    return table
+
+
 def evaluate(
     cfg: Config,
     params,

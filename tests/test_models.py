@@ -341,6 +341,28 @@ def test_voxel_iou():
     assert np.all(v > 0.2) and np.all(v < 0.9), v
 
 
+def test_evaluate_category_slices():
+    """Per-category table for a jointly-trained 'multi' model: one row
+    per category present plus a mean row, same metric keys as
+    evaluate()."""
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.predict import evaluate_category_slices
+    from dpcx.train import create_state
+
+    cfg = Config(
+        vox_size=12, mask_size=12, pc_num_points=64, image_size=32,
+        encoder_filters=(8,), latent_dim=32, fc_hidden=32,
+        pc_decoder_hidden=(32,), num_views=2, category="multi",
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=128), cfg)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    table = evaluate_category_slices(cfg, st.params, ds, batch_size=2)
+    assert set(table) == {"chair", "car", "airplane", "mean"}
+    for row in table.values():
+        assert np.isfinite(row["chamfer"]) and "iou_3d_16" in row
+
+
 def test_evaluate_reports_flip_metrics():
     """evaluate() on a predicted-pose config must report the mirror-gauge
     diagnostics alongside the plain pose metrics, and the flip-aware
