@@ -44,7 +44,7 @@ def predict_dataset(
 ) -> dict[str, np.ndarray]:
     """Forward the whole test set; optionally dump predictions to npz."""
     M = dataset.num_models
-    all_points, all_poses, all_scales = [], [], []
+    all_points, all_poses, all_scales, all_rgb = [], [], [], []
     for start in range(0, M, batch_size):
         idx = np.arange(start, min(start + batch_size, M))
         # pad the tail so jit sees a fixed batch shape
@@ -59,11 +59,15 @@ def predict_dataset(
             all_poses.append(np.asarray(preds["pose"])[: len(idx)])
         if "scale" in preds:
             all_scales.append(np.asarray(preds["scale"])[: len(idx)])
+        if "rgb" in preds:
+            all_rgb.append(np.asarray(preds["rgb"])[: len(idx)])
     out = {"points": np.concatenate(all_points)}
     if all_poses:
         out["pose"] = np.concatenate(all_poses)
     if all_scales:
         out["scale"] = np.concatenate(all_scales)
+    if all_rgb:
+        out["rgb"] = np.concatenate(all_rgb)
     if out_path is not None:
         out_path = Path(out_path)
         out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -74,9 +78,46 @@ def predict_dataset(
             from scipy.io import savemat
 
             savemat(str(out_path), out)
+        elif out_path.suffix == ".ply":
+            # one ASCII PLY per model (out_0000.ply, ...) for standard
+            # point-cloud viewers (MeshLab/CloudCompare interop)
+            rgbs = out.get("rgb")
+            for i, pts in enumerate(out["points"]):
+                save_ply(
+                    out_path.with_name(
+                        f"{out_path.stem}_{i:04d}.ply"
+                    ),
+                    pts,
+                    None if rgbs is None else rgbs[i],
+                )
         else:
             np.savez_compressed(out_path, **out)
     return out
+
+
+def save_ply(
+    path: str | Path, points: np.ndarray, rgb: np.ndarray | None = None
+) -> None:
+    """Write one cloud as ASCII PLY ([N, 3] points, optional [N, 3]
+    colors in [0, 1])."""
+    pts = np.asarray(points, np.float32)
+    lines = [
+        "ply", "format ascii 1.0", f"element vertex {len(pts)}",
+        "property float x", "property float y", "property float z",
+    ]
+    if rgb is not None:
+        lines += [
+            "property uchar red", "property uchar green",
+            "property uchar blue",
+        ]
+        cols = np.clip(np.asarray(rgb) * 255.0, 0, 255).astype(np.uint8)
+        body = [
+            f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]} {c[1]} {c[2]}"
+            for p, c in zip(pts, cols)
+        ]
+    else:
+        body = [f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}" for p in pts]
+    Path(path).write_text("\n".join(lines + ["end_header"] + body) + "\n")
 
 
 def evaluate_categories(

@@ -143,6 +143,21 @@ def test_serving_model_bf16_and_chunking(tiny_yaml):
     assert float(np.abs(pu8 - p32).max()) < 0.05
 
 
+def test_predict_writes_ply(tiny_yaml, tmp_path, capsys):
+    """.ply suffix writes one ASCII PLY per model (viewer interop)."""
+    out_file = str(tmp_path / "preds.ply")
+    cli.main(["datagen", "-f", tiny_yaml, "-n", "2"])
+    capsys.readouterr()
+    cli.main(["predict", "-f", tiny_yaml, "-n", "2", "-o", out_file])
+    files = sorted(tmp_path.glob("preds_*.ply"))
+    assert len(files) == 2
+    text = files[0].read_text().splitlines()
+    assert text[0] == "ply" and "end_header" in text
+    n = int(next(l for l in text if l.startswith("element vertex"))
+            .split()[-1])
+    assert len(text) == text.index("end_header") + 1 + n
+
+
 def test_predict_writes_mat(tiny_yaml, tmp_path, capsys):
     """Reference-parity export: .mat suffix routes through scipy.io
     (dpc/run/predict_eval.py dumps .mat)."""
