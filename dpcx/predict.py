@@ -155,7 +155,18 @@ def evaluate_category_slices(
     (SURVEY.md §2.2 #18)."""
     from dpcx.data.synthetic import CATEGORIES
 
+    if "category_idx" not in dataset.records:
+        raise ValueError(
+            "per-category eval needs a dataset with category_idx "
+            "(synthetic category='multi'); converted/external datasets "
+            "don't carry category labels — evaluate them whole"
+        )
     idx = np.asarray(dataset.records["category_idx"])
+    if int(idx.max(initial=0)) >= len(CATEGORIES):
+        raise ValueError(
+            f"category_idx values exceed the known categories "
+            f"{CATEGORIES}; cannot label the table rows"
+        )
     table: dict[str, dict[str, float]] = {}
     for ci in sorted(set(idx.tolist())):
         sel = np.nonzero(idx == ci)[0]

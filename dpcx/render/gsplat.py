@@ -379,14 +379,15 @@ def anisotropic_density_grid_pallas(
     Rm = quaternion_to_matrix(rot)
     sigma_zz = jnp.sum(Rm[..., 2, :] ** 2 * s_vox**2, axis=-1)
     rz = truncate * jnp.sqrt(jnp.maximum(sigma_zz, 1e-12))
-    rgb_in = (
-        jnp.zeros((B, N, 3), mu.dtype) if rgb is None else rgb
-    )
-    dens, cols = aniso_density_pallas(
-        mu, A6, w, rgb_in, rz, D, acc_dtype, interpret
-    )
     if rgb is None:
-        return dens
+        # density-only kernel variant: 1 slab channel instead of 4 and
+        # no color-cotangent work in the backward
+        return aniso_density_pallas(
+            mu, A6, w, None, rz, D, acc_dtype, interpret
+        )
+    dens, cols = aniso_density_pallas(
+        mu, A6, w, rgb, rz, D, acc_dtype, interpret
+    )
     rgb_grid = jnp.moveaxis(cols, 1, -1) / jnp.maximum(
         dens[..., None], 1e-6
     )

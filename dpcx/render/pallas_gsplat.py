@@ -78,8 +78,9 @@ def _aniso_fwd_kernel(
     pk_ref,      # [1, 13, N] z-sorted packed points (rows: mu_z, mu_y,
                  # mu_x, A00, A01, A02, A11, A12, A22, w, r, g, b;
                  # points on LANES)
-    out_ref,     # [1, 4, D, D, D] out: density + 3 color accumulators
-    grid_ref,    # [4, D + G, D, D] f32 scratch (G pad slabs: trips may
+    out_ref,     # [1, CH, D, D, D] out: density (+ 3 color accumulators
+                 # when with_rgb)
+    grid_ref,    # [CH, D + G, D, D] f32 scratch (G pad slabs: trips may
                  # overshoot the top; pad cells are never copied out)
     *,
     num_points: int,
@@ -87,8 +88,10 @@ def _aniso_fwd_kernel(
     z_group: int,
     chunk: int,
     acc_dtype,
+    with_rgb: bool,
 ):
     D, G, C = vox, z_group, chunk
+    CH = 4 if with_rgb else 1
     acc = jnp.dtype(acc_dtype)
     mxu_prec = (
         jax.lax.Precision.HIGHEST
@@ -100,7 +103,7 @@ def _aniso_fwd_kernel(
     row_y = _iota_f32((G * D, 1), 0) - D * row_z           # [G*D, 1]
     x_lane = _iota_f32((1, D), 1)                          # [1, D]
 
-    grid_ref[:] = jnp.zeros((4, D + G, D, D), jnp.float32)
+    grid_ref[:] = jnp.zeros((CH, D + G, D, D), jnp.float32)
 
     def chunk_body(c_i, _):
         zb = zbase_ref[b, c_i]
@@ -114,8 +117,13 @@ def _aniso_fwd_kernel(
         a11, a12, a22 = ld(6), ld(7), ld(8)
         w = ld(9)
         lw = jnp.log(jnp.maximum(w, 1e-30))                # [1, C]
+        color_rows = (
+            [ld(10), ld(11), ld(12)]
+            if with_rgb
+            else [jnp.zeros((3, C), jnp.float32)]
+        )
         rgbw = jnp.concatenate(
-            [jnp.ones((1, C), jnp.float32), ld(10), ld(11), ld(12)]
+            [jnp.ones((1, C), jnp.float32)] + color_rows
             + [jnp.zeros((4, C), jnp.float32)],
             axis=0,
         ).astype(acc)                                      # [8, C]
@@ -132,7 +140,6 @@ def _aniso_fwd_kernel(
             m = a02 * dz + a12 * dy                        # [G*D, C]
 
             def xloop(x, slabs):
-                s0, s1, s2, s3 = slabs
                 xf = x.astype(jnp.float32)
                 dx = xf - mux                              # [1, C]
                 e = jnp.exp(base - (m * dx + (h * dx) * dx)).astype(acc)
@@ -142,17 +149,16 @@ def _aniso_fwd_kernel(
                     precision=mxu_prec,
                 )
                 oh = (x_lane == xf).astype(jnp.float32)    # [1, D]
-                s0 = s0 + E[:, 0:1] * oh
-                s1 = s1 + E[:, 1:2] * oh
-                s2 = s2 + E[:, 2:3] * oh
-                s3 = s3 + E[:, 3:4] * oh
-                return s0, s1, s2, s3
+                return tuple(
+                    s + E[:, kk : kk + 1] * oh
+                    for kk, s in enumerate(slabs)
+                )
 
             z4 = jnp.zeros((G * D, D), jnp.float32)
-            s0, s1, s2, s3 = jax.lax.fori_loop(
-                0, D, xloop, (z4, z4, z4, z4)
+            slabs = jax.lax.fori_loop(
+                0, D, xloop, (z4,) * CH
             )
-            for kk, s in enumerate((s0, s1, s2, s3)):
+            for kk, s in enumerate(slabs):
                 grid_ref[kk, pl.ds(z0, G)] += s.reshape(G, D, D)
             return 0
 
@@ -168,15 +174,17 @@ def _aniso_bwd_kernel(
     ntrips_ref,  # [B, n_chunks] int32 (SMEM)
     counts_ref,  # [1] int32
     pk_ref,      # [1, 13, N] z-sorted packed points
-    ct_ref,      # [1, 4, D + G, D, D] cotangents of (dens, cols),
+    ct_ref,      # [1, CH, D + G, D, D] cotangents of (dens[, cols]),
                  # zero-padded G slabs at the top
-    gout_ref,    # [1, 13, N] out: grads in SORTED order
+    gout_ref,    # [1, 13, N] out: grads in SORTED order (color rows
+                 # zero when not with_rgb)
     *,
     num_points: int,
     vox: int,
     z_group: int,
     chunk: int,
     acc_dtype,
+    with_rgb: bool,
 ):
     D, G, C = vox, z_group, chunk
     acc = jnp.dtype(acc_dtype)
@@ -201,7 +209,8 @@ def _aniso_bwd_kernel(
         a00, a01, a02 = ld(3), ld(4), ld(5)
         a11, a12, a22 = ld(6), ld(7), ld(8)
         w = ld(9)
-        rr, gg, bb = ld(10), ld(11), ld(12)
+        if with_rgb:
+            rr, gg, bb = ld(10), ld(11), ld(12)
         lw = jnp.log(jnp.maximum(w, 1e-30))
         dy = row_y - muy
         ty = (0.5 * a11) * dy * dy
@@ -211,7 +220,6 @@ def _aniso_bwd_kernel(
         # raw-moment accumulators (P[a,b,m] rows, see module docstring)
         # and color-cotangent accumulators, carried across trips
         def trip(k, carry):
-            acc0, acc1, acc2, v1, v2, v3 = carry
             z0 = zb + k * G
             zc = row_z + z0.astype(jnp.float32)             # [G*D, 1]
             dz = zc - muz
@@ -235,12 +243,16 @@ def _aniso_bwd_kernel(
                 .reshape(G * D, D)
                 .astype(jnp.float32)
             )
-            ct_r = ct_ref[0, 1, pl.ds(z0, G), :, :].reshape(G * D, D)
-            ct_g = ct_ref[0, 2, pl.ds(z0, G), :, :].reshape(G * D, D)
-            ct_b = ct_ref[0, 3, pl.ds(z0, G), :, :].reshape(G * D, D)
+            if with_rgb:
+                ct_r = ct_ref[0, 1, pl.ds(z0, G), :, :].reshape(G * D, D)
+                ct_g = ct_ref[0, 2, pl.ds(z0, G), :, :].reshape(G * D, D)
+                ct_b = ct_ref[0, 3, pl.ds(z0, G), :, :].reshape(G * D, D)
 
             def xloop(x, carry):
-                acc0, acc1, acc2, v1, v2, v3 = carry
+                if with_rgb:
+                    acc0, acc1, acc2, v1, v2, v3 = carry
+                else:
+                    acc0, acc1, acc2 = carry
                 xf = x.astype(jnp.float32)
                 dx = xf - mux                               # [1, C]
                 e = jnp.exp(base - (m * dx + (h * dx) * dx))
@@ -258,13 +270,6 @@ def _aniso_bwd_kernel(
                     )[:, 0:1]
 
                 cd = col(ct_d)
-                c1 = col(ct_r)
-                c2 = col(ct_g)
-                c3 = col(ct_b)
-                t1 = e * c1
-                t2 = e * c2
-                t3 = e * c3
-                u = e * cd + (rr * t1 + gg * t2 + bb * t3)
 
                 def red(mat):
                     return jax.lax.dot_general(
@@ -273,22 +278,34 @@ def _aniso_bwd_kernel(
                         precision=mxu_prec,
                     )                                       # [8, C]
 
+                if with_rgb:
+                    t1 = e * col(ct_r)
+                    t2 = e * col(ct_g)
+                    t3 = e * col(ct_b)
+                    u = e * cd + (rr * t1 + gg * t2 + bb * t3)
+                else:
+                    u = e * cd
                 Su = red(u)
                 acc0 = acc0 + Su
                 acc1 = acc1 + Su * dx
                 acc2 = acc2 + (Su * dx) * dx
+                if not with_rgb:
+                    return acc0, acc1, acc2
                 v1 = v1 + red(t1)
                 v2 = v2 + red(t2)
                 v3 = v3 + red(t3)
                 return acc0, acc1, acc2, v1, v2, v3
 
-            return jax.lax.fori_loop(
-                0, D, xloop, (acc0, acc1, acc2, v1, v2, v3)
-            )
+            return jax.lax.fori_loop(0, D, xloop, carry)
 
-        acc0, acc1, acc2, v1, v2, v3 = jax.lax.fori_loop(
-            0, nt, trip, (z8c, z8c, z8c, z8c, z8c, z8c)
+        n_carry = 6 if with_rgb else 3
+        carry_out = jax.lax.fori_loop(
+            0, nt, trip, (z8c,) * n_carry
         )
+        if with_rgb:
+            acc0, acc1, acc2, v1, v2, v3 = carry_out
+        else:
+            acc0, acc1, acc2 = carry_out
 
         # assemble gradients from raw moments (centering in z/y happens
         # here — dx was centered inside the loop)
@@ -319,9 +336,15 @@ def _aniso_bwd_kernel(
         st(7, -Sdydx)                              # d/d A12
         st(8, -0.5 * Sdxdx)                        # d/d A22
         st(9, jnp.where(w > 1e-30, P000 / jnp.maximum(w, 1e-30), 0.0))
-        st(10, v1[0:1])                            # d/d rgb
-        st(11, v2[0:1])
-        st(12, v3[0:1])
+        if with_rgb:
+            st(10, v1[0:1])                        # d/d rgb
+            st(11, v2[0:1])
+            st(12, v3[0:1])
+        else:
+            z1c = jnp.zeros((1, C), jnp.float32)
+            st(10, z1c)
+            st(11, z1c)
+            st(12, z1c)
         return 0
 
     jax.lax.fori_loop(0, counts_ref[0], chunk_body, 0)
@@ -388,12 +411,14 @@ def _pad_points(arrs: list[jax.Array], N: int, C: int) -> list[jax.Array]:
     return out
 
 
-def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret):
+def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret, with_rgb):
     B, _, N = pk_s.shape
     D = vox
+    CH = 4 if with_rgb else 1
     kernel = functools.partial(
         _aniso_fwd_kernel,
         num_points=N, vox=D, z_group=G, chunk=C, acc_dtype=acc_dtype,
+        with_rgb=with_rgb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -405,10 +430,10 @@ def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, D, D, D), lambda p, *_: (p, 0, 0, 0, 0),
+            (1, CH, D, D, D), lambda p, *_: (p, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((4, D + G, D, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CH, D + G, D, D), jnp.float32)],
     )
     args = jax.lax.optimization_barrier(
         (zb, nt, jnp.asarray([N // C], jnp.int32), pk_s)
@@ -419,10 +444,10 @@ def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 4, D, D, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, CH, D, D, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * D * D * 16,
-            bytes_accessed=B * (13 * N + 4 * D**3) * 4,
+            flops=2 * B * N * D * D * (16 if with_rgb else 10),
+            bytes_accessed=B * (13 * N + CH * D**3) * 4,
             transcendentals=B * N * D * D * 4,
         ),
         interpret=interpret,
@@ -430,12 +455,15 @@ def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret):
     return out
 
 
-def _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret):
+def _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret,
+              with_rgb):
     B, _, N = pk_s.shape
     D = vox
+    CH = 4 if with_rgb else 1
     kernel = functools.partial(
         _aniso_bwd_kernel,
         num_points=N, vox=D, z_group=G, chunk=C, acc_dtype=acc_dtype,
+        with_rgb=with_rgb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -446,7 +474,7 @@ def _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 4, D + G, D, D), lambda p, *_: (p, 0, 0, 0, 0),
+                (1, CH, D + G, D, D), lambda p, *_: (p, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -466,8 +494,8 @@ def _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((B, 13, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * D * D * 40,
-            bytes_accessed=B * (26 * N + 4 * D**3) * 4,
+            flops=2 * B * N * D * D * (40 if with_rgb else 16),
+            bytes_accessed=B * (26 * N + CH * D**3) * 4,
             transcendentals=B * N * D * D * 4,
         ),
         interpret=interpret,
@@ -480,29 +508,37 @@ def aniso_density_pallas(
     A6: jax.Array,    # [B, N, 6] precision entries (A00, A01, A02,
                       # A11, A12, A22), cell units
     w: jax.Array,     # [B, N] weight (normalization * opacity)
-    rgb: jax.Array,   # [B, N, 3]
+    rgb: jax.Array | None,  # [B, N, 3], or None for density-only (the
+                      # kernel then skips all color slab/cotangent work)
     rz: jax.Array,    # [B, N] z window radius, cells (truncate * sigma_z)
     vox: int = 32,
     acc_dtype: str = "float32",
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (density [B, D, D, D], color accumulators [B, 3, D, D, D]).
+):
+    """-> (density [B, D, D, D], color accumulators [B, 3, D, D, D]),
+    or density alone when rgb is None.
 
     Exact in-window anisotropic Gaussian mass; mass beyond rz cells of a
     center in z is truncated (choose rz = truncate * sqrt(Sigma_zz))."""
     dens, cols, _ = _aniso_fwd_res(
         mu, A6, w, rgb, rz, vox, acc_dtype, interpret
     )
-    return dens, cols
+    return dens if cols is None else (dens, cols)
 
 
 def _pack(mu, A6, w, rgb):
+    B, N, _ = mu.shape
+    rgb_rows = (
+        jnp.zeros((B, 3, N), mu.dtype)
+        if rgb is None
+        else jnp.moveaxis(rgb, -1, 1)
+    )
     return jnp.concatenate(
         [
             jnp.moveaxis(mu, -1, 1),       # [B, 3, N]
             jnp.moveaxis(A6, -1, 1),       # [B, 6, N]
             w[:, None, :],                 # [B, 1, N]
-            jnp.moveaxis(rgb, -1, 1),      # [B, 3, N]
+            rgb_rows,                      # [B, 3, N]
         ],
         axis=1,
     ).astype(jnp.float32)                  # [B, 13, N]
@@ -510,36 +546,47 @@ def _pack(mu, A6, w, rgb):
 
 def _aniso_fwd_res(mu, A6, w, rgb, rz, vox, acc_dtype, interpret):
     B, N0, _ = mu.shape
+    with_rgb = rgb is not None
     G, C = _tiling(N0, vox)
     pk = _pack(mu, A6, w, rgb)
     pk, rz_p = _pad_points([pk, rz.astype(jnp.float32)], N0, C)
     pk_s, rz_s, order = _sort_packed(pk, rz_p, with_order=True)
     zb, nt = _window_metadata(pk_s[:, 0, :], rz_s, vox, G, C)
-    out = _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret)
-    return out[:, 0], out[:, 1:4], (pk_s, order, zb, nt)
+    out = _fwd_call(
+        pk_s, zb, nt, vox, G, C, acc_dtype, interpret, with_rgb
+    )
+    cols = out[:, 1:4] if with_rgb else None
+    return out[:, 0], cols, (pk_s, order, zb, nt)
 
 
 def _aniso_vjp_fwd(mu, A6, w, rgb, rz, vox, acc_dtype, interpret):
     dens, cols, res = _aniso_fwd_res(
         mu, A6, w, rgb, rz, vox, acc_dtype, interpret
     )
-    return (dens, cols), (res, mu.shape[1])
+    out = dens if cols is None else (dens, cols)
+    return out, (res, mu.shape[1], cols is not None)
 
 
 def _aniso_vjp_bwd(vox, acc_dtype, interpret, res, cts):
-    (pk_s, order, zb, nt), N0 = res
-    ct_d, ct_c = cts
+    (pk_s, order, zb, nt), N0, with_rgb = res
+    if with_rgb:
+        ct_d, ct_c = cts
+        ct = jnp.concatenate(
+            [ct_d[:, None], ct_c], axis=1
+        ).astype(jnp.float32)                   # [B, 4, D, D, D]
+    else:
+        ct_d = cts
+        ct = ct_d[:, None].astype(jnp.float32)  # [B, 1, D, D, D]
     B = ct_d.shape[0]
     D = vox
-    N = pk_s.shape[2]
+    CH = ct.shape[1]
     G, C = _tiling(N0, vox)
-    ct = jnp.concatenate(
-        [ct_d[:, None], ct_c], axis=1
-    ).astype(jnp.float32)                       # [B, 4, D, D, D]
     ct_pad = jnp.concatenate(
-        [ct, jnp.zeros((B, 4, G, D, D), jnp.float32)], axis=2
+        [ct, jnp.zeros((B, CH, G, D, D), jnp.float32)], axis=2
     )
-    g_s = _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret)
+    g_s = _bwd_call(
+        pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret, with_rgb
+    )
     # un-sort: one multi-operand sort keyed by the saved order
     ops = (order,) + tuple(g_s[:, i, :] for i in range(13))
     out = jax.lax.sort(ops, dimension=1, num_keys=1)
@@ -547,7 +594,9 @@ def _aniso_vjp_bwd(vox, acc_dtype, interpret, res, cts):
     gmu = jnp.moveaxis(g[:, 0:3], 1, -1)
     gA6 = jnp.moveaxis(g[:, 3:9], 1, -1)
     gw = g[:, 9]
-    grgb = jnp.moveaxis(g[:, 10:13], 1, -1)
+    grgb = (
+        jnp.moveaxis(g[:, 10:13], 1, -1) if with_rgb else None
+    )
     return gmu, gA6, gw, grgb, jnp.zeros((B, N0), jnp.float32)
 
 

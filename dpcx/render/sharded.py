@@ -96,20 +96,19 @@ def pointcloud_project_point_sharded(
             partial_grid = pointcloud2voxels_matmul(
                 ndc, D, point_weights=pw
             )
-        grid = jax.lax.psum(partial_grid, axis)  # merge shards over ICI
-        grid = smoothen_voxels3d(grid, sigma_vox, radius)
+        grid_raw = jax.lax.psum(partial_grid, axis)  # merge over ICI
+        grid = smoothen_voxels3d(grid_raw, sigma_vox, radius)
         if cfg.proj_type == "drc":
             sil, depth = drc_projection(
                 grid, logsum=cfg.drc_logsum, with_depth=cfg.proj_depth
             )
         else:
             sil, depth = sum_projection(grid)
-        if not cfg.proj_depth:
+        if depth is None:  # sum mode, or drc with proj_depth off
             depth = jnp.zeros_like(sil)
         if with_rgb:
-            rgb_grid = col / jnp.maximum(
-                jax.lax.psum(partial_grid, axis)[..., None], 1e-6
-            )
+            # reuse the already-reduced raw grid — no second psum
+            rgb_grid = col / jnp.maximum(grid_raw[..., None], 1e-6)
             p_stop, _ = drc_event_probabilities(
                 grid, logsum=cfg.drc_logsum
             )
@@ -201,11 +200,11 @@ def pointcloud_project_grid_sharded(
         D,
         cfg.gauss_kernel_truncate,
     )
-    R = min(radius, Zl)  # halo cannot usefully exceed the block
     assert radius <= Zl, (
         f"blur radius {radius} exceeds z-block {Zl}; use fewer devices "
         "or a smaller sigma"
     )
+    R = radius  # halo slabs carried on each side of the block
     sigma_vox = jnp.asarray(sigma_rel, points.dtype) * D
     from dpcx.render.gauss import blur_matrix
     from dpcx.render.voxelize import _hat_weights, ndc_to_grid
@@ -264,6 +263,13 @@ def pointcloud_project_grid_sharded(
         grid = jnp.einsum("bzyx,zi->biyx", grid, Kz, precision=p_hi)
         o_loc = grid[:, R : R + Zl]
 
+        if cfg.proj_type != "drc":
+            # clipped-sum projection is linear in z: psum the local sums
+            sil = jnp.clip(
+                jax.lax.psum(jnp.sum(o_loc, axis=1), axis), 0.0, 1.0
+            )
+            return sil, jnp.zeros_like(sil)
+
         # blockwise DRC across devices
         p_loc, t_blk = drc_event_probabilities(
             o_loc, logsum=cfg.drc_logsum
@@ -277,6 +283,9 @@ def pointcloud_project_grid_sharded(
         )  # exclusive prefix transmittance
         total = jnp.prod(t_all, axis=0)
         sil = 1.0 - total
+        if not cfg.proj_depth:
+            # skip the depth einsum AND its [B, Y, X] psum collective
+            return sil, jnp.zeros_like(sil)
         zs = (
             (z0 + jnp.arange(Zl, dtype=o_loc.dtype) + 0.5) / D - 0.5
         )

@@ -505,6 +505,10 @@ def train(
                 jax.profiler.start_trace(cfg.profile_dir)
                 trace_state = "on"
             elif trace_state == "on":
+                # the traced chunk was dispatched asynchronously — wait
+                # for it, or stop_trace truncates the device events (the
+                # final-chunk path below already does this)
+                jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 trace_state = "done"
             if use_device_data:

@@ -71,7 +71,7 @@ def windowed_fb(chunk, remat):
             return dens.sum() + col.sum()
 
         gp, gs_, go = jax.grad(loss, argnums=(0, 1, 2))(
-            pts + carry * 1e-17, s, o
+            p + carry * 1e-17, s, o
         )
         return carry + 1e-17, gp.sum() + gs_.sum() + go.sum()
 
@@ -115,7 +115,7 @@ def dense_fb(d):
             return dens.sum() + col.sum()
 
         gp, gs_, go = jax.grad(loss, argnums=(0, 1, 2))(
-            pts + carry * 1e-17, s, o
+            p + carry * 1e-17, s, o
         )
         return carry + 1e-17, gp.sum() + gs_.sum() + go.sum()
 

@@ -99,6 +99,48 @@ def test_gradients_match_dense():
         assert rel < 2e-4, f"{name}: rel grad err {rel}"
 
 
+def test_density_only_variant_matches_rgb_density():
+    """rgb=None selects the 1-channel kernel (no color slabs / color
+    cotangents): its density and gradients must equal the 4-channel
+    variant's density exactly (same windows, same trips) and the dense
+    oracle's at fp32 tolerance."""
+    pts, scales, rot, opac, rgb = _inputs(4)
+    d_only = anisotropic_density_grid_pallas(
+        pts, scales, rot, D, point_weights=opac,
+        truncate=100.0, interpret=True,
+    )
+    d_rgb, _ = anisotropic_density_grid_pallas(
+        pts, scales, rot, D, point_weights=opac, rgb=rgb,
+        truncate=100.0, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_only), np.asarray(d_rgb)
+    )
+
+    tgt_d = jax.random.uniform(jax.random.PRNGKey(11), (B, D, D, D))
+
+    def loss_p(p, s, o):
+        dens = anisotropic_density_grid_pallas(
+            p, s, rot, D, point_weights=o,
+            truncate=100.0, interpret=True,
+        )
+        return jnp.mean((dens - tgt_d) ** 2)
+
+    def loss_ref(p, s, o):
+        dens = anisotropic_density_grid(p, s, rot, D, point_weights=o)
+        return jnp.mean((dens - tgt_d) ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2))(pts, scales, opac)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(pts, scales, opac)
+    for a, b, name in zip(g_p, g_r, ("points", "scales", "opacity")):
+        rel = float(jnp.linalg.norm(a - b)) / (
+            float(jnp.linalg.norm(b)) + 1e-12
+        )
+        # 5e-4: fp32 raw-moment assembly noise at this seed (the seed-2
+        # rgb-variant test sits at ~2e-4; same math, different draws)
+        assert rel < 5e-4, f"{name}: rel grad err {rel}"
+
+
 def test_nonmultiple_chunk_padding():
     """N not a multiple of the 128-lane chunk unit pads cleanly."""
     pts, scales, rot, opac, rgb = _inputs(3)

@@ -135,6 +135,38 @@ def test_large_cloud_loss_path_optimizes():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_sharded_sum_projection_modes():
+    """proj_type='sum' parity for BOTH sharded renderers — including the
+    sum+proj_depth=True combination that used to crash the point-sharded
+    path (the None-depth guard tested cfg.proj_depth instead of the
+    returned depth)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device runtime")
+    from dpcx.render.sharded import pointcloud_project_grid_sharded
+
+    cfg = CFG.replace(proj_type="sum", proj_depth=True)
+    mesh = make_mesh(cfg)
+    pts, _, quat = _inputs(mesh.devices.size)
+    sigma = jnp.asarray(0.1)
+    out = pointcloud_project_point_sharded(cfg, mesh, pts, quat, sigma)
+    ref = pointcloud_project(cfg, pts, quat, sigma, splat="matmul")
+    np.testing.assert_allclose(out.silhouette, ref.silhouette, atol=1e-5)
+
+    cfg_g = Config(
+        vox_size=24, proj_type="sum",
+        pc_relative_sigma=0.05, pc_relative_sigma_end=0.05,
+    )
+    pts24, _, quat24 = _inputs(mesh.devices.size, B=2, per_dev=24, key=3)
+    sig = jnp.asarray(0.05)
+    out_g = pointcloud_project_grid_sharded(
+        cfg_g, mesh, pts24, quat24, sig
+    )
+    ref_g = pointcloud_project(cfg_g, pts24, quat24, sig, splat="matmul")
+    np.testing.assert_allclose(
+        out_g.silhouette, ref_g.silhouette, atol=1e-5
+    )
+
+
 def test_grid_sharded_matches_unsharded():
     """GRID sharding (z-block per device + halo blur + blockwise DRC over
     all_gather'd transmittances): silhouette, depth, and gradients match
