@@ -253,7 +253,12 @@ def evaluate(
         metrics["pose_median_err_deg_up_to_flip"] = float(
             fm["median_err_deg_up_to_flip"]
         )
-        metrics["pose_flip_rate"] = float(fm["flip_rate"])
+        # flip_rate must be the PRE-correction fraction (how many samples
+        # sit in the mirror gauge); fm["flip_rate"] is computed on the
+        # already-corrected set and is ~0 by construction.
+        metrics["pose_flip_rate"] = float(
+            jnp.mean((e1 < e0).astype(jnp.float32))
+        )
         from dpcx.geometry.quaternion import (
             quaternion_conjugate,
             quaternion_rotate,
