@@ -87,6 +87,24 @@ class Config:
     pose_candidate_offsets: bool = True
     pose_student: bool = True
     pose_student_weight: float = 20.0
+    # linear warmup of the student weight over this many steps (0 = the
+    # reference behavior, full weight from step 0). Early in training the
+    # argmin teacher is noise; its distillation gradient flows through the
+    # SHARED pose trunk (fc0 + encoder) and can perturb gauge locking —
+    # round-4 gauge-lottery mechanism (c)
+    pose_student_warmup_steps: int = 0
+    # candidate re-anchoring — round-4 gauge-lottery mechanism (b): a
+    # regularizer pulling each candidate's CORRECTION quaternion (the
+    # learned rotation composed with its fixed azimuth offset) toward
+    # identity, so every offset keeps owning its azimuth sector instead of
+    # two candidates drifting onto the same mode and leaving the mirror
+    # mode uncovered. Loss = mean(1 - w^2) over corrections (sign-invariant
+    # angular distance to identity).
+    pose_anchor_weight: float = 0.0
+    # >0: the anchor weight decays linearly to 0 over this many steps —
+    # pull hard while the gauge locks (coarse-sigma phase), then free the
+    # corrections to fine-tune elevation/azimuth within their sector
+    pose_anchor_steps: int = 0
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 

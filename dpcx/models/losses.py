@@ -375,8 +375,39 @@ def compute_loss(
             )  # [B, 4]
             dot = jnp.sum(preds["student_quat"] * q_teacher, axis=-1)
             student_loss = jnp.mean(1.0 - dot**2)  # sign-invariant
-            total = total + cfg.pose_student_weight * student_loss
+            sw = jnp.asarray(cfg.pose_student_weight, jnp.float32)
+            if cfg.pose_student_warmup_steps > 0:
+                # mechanism (c): the argmin teacher is noise early, and its
+                # distillation gradient reaches the SHARED trunk (fc0 +
+                # encoder) — ramp the weight in so gauge locking happens
+                # before the student term carries weight
+                sw = sw * jnp.clip(
+                    step.astype(jnp.float32)
+                    / cfg.pose_student_warmup_steps,
+                    0.0,
+                    1.0,
+                )
+            total = total + sw * student_loss
             metrics["loss_student"] = student_loss
+        if cfg.pose_anchor_weight > 0 and "correction_quats" in preds:
+            # mechanism (b), candidate re-anchoring: pull every candidate's
+            # pre-offset correction toward identity (sign-invariant angular
+            # distance 1 - w^2) so the fixed azimuth offsets keep owning
+            # their sectors during gauge locking; optionally decay to zero
+            # (cfg.pose_anchor_steps) so late training fine-tunes freely
+            aw = jnp.asarray(cfg.pose_anchor_weight, jnp.float32)
+            if cfg.pose_anchor_steps > 0:
+                aw = aw * jnp.clip(
+                    1.0
+                    - step.astype(jnp.float32) / cfg.pose_anchor_steps,
+                    0.0,
+                    1.0,
+                )
+            anchor_loss = jnp.mean(
+                1.0 - preds["correction_quats"][..., 0] ** 2
+            )
+            total = total + aw * anchor_loss
+            metrics["loss_anchor"] = anchor_loss
         if cfg.proj_depth and cfg.drc_weight > 0:
             depth = depth.reshape(B, K, V, D, D)
             d_win = jnp.take_along_axis(

@@ -45,6 +45,10 @@ class PoseHead(nn.Module):
         quats = raw.astype(jnp.float32).reshape(B, self.num_candidates, 4)
         quats = quats + jnp.asarray([1.0, 0.0, 0.0, 0.0])
         quats = quaternion_normalize(quats)
+        # the pre-offset corrections, exposed for the re-anchoring
+        # regularizer (cfg.pose_anchor_weight): anchoring THESE to identity
+        # keeps each fixed offset owning its azimuth sector
+        corrections = quats
         if self.candidate_offsets and self.num_candidates > 1:
             # Mode coverage by construction (paper §3.2 pose ensemble): each
             # candidate is a FIXED rotation about the vertical (world y-up)
@@ -64,7 +68,7 @@ class PoseHead(nn.Module):
                 axis=-1,
             )  # [K, 4]: azimuth offset applied to object coords first
             quats = quaternion_multiply(quats, off)
-        out = {"quats": quats}
+        out = {"quats": quats, "correction_quats": corrections}
         if self.with_student:
             sraw = nn.Dense(4, dtype=self.compute_dtype, name="fc_student")(x)
             out["student_quat"] = quaternion_normalize(

@@ -37,6 +37,16 @@ p.add_argument("--sigma1", type=float, default=0.02)
 p.add_argument("--k", type=int, default=4)
 p.add_argument("--no-offsets", action="store_true")
 p.add_argument("--student-weight", type=float, default=5.0)
+p.add_argument("--student-warmup", type=int, default=0,
+               help="linear student-weight warmup steps (gauge-lottery "
+                    "mechanism c: the early argmin teacher is noise and "
+                    "its gradient reaches the shared pose trunk)")
+p.add_argument("--anchor-weight", type=float, default=0.0,
+               help="candidate re-anchoring regularizer weight (gauge-"
+                    "lottery mechanism b: pull pre-offset corrections "
+                    "toward identity so offsets keep owning their sector)")
+p.add_argument("--anchor-steps", type=int, default=0,
+               help=">0: anchor weight decays linearly to 0 by this step")
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -92,6 +102,9 @@ cfg = Config(
     pose_candidate_offsets=not args.no_offsets,
     pose_student=True,
     pose_student_weight=args.student_weight,
+    pose_student_warmup_steps=args.student_warmup,
+    pose_anchor_weight=args.anchor_weight,
+    pose_anchor_steps=args.anchor_steps,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

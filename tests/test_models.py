@@ -206,6 +206,89 @@ def test_student_loss_pulls_to_winner():
     assert float(metrics["loss_student"]) > 0.0
 
 
+def test_student_warmup_schedule():
+    """pose_student_warmup_steps ramps the student weight linearly: the
+    student term contributes 0 at step 0, half weight mid-ramp, and the
+    full weight at/after the end (gauge-lottery mechanism c)."""
+    base = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                        pose_student=True, pose_student_weight=4.0)
+    warm = base.replace(pose_student_warmup_steps=100)
+    batch = _fake_batch(cfg=base, B=1)
+    points = jnp.zeros((1, 16, 3))
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+    student = jnp.asarray([[0.6, 0.8, 0.0, 0.0]])
+    preds = {"points": points, "quats": quats, "student_quat": student}
+    key = jax.random.PRNGKey(1)
+
+    def total(cfg, step):
+        t, m = compute_loss(cfg, preds, batch, jnp.asarray(step), key)
+        return float(t), float(m["loss_student"])
+
+    t_base, ls = total(base, 0)
+    t0, ls0 = total(warm, 0)
+    t50, _ = total(warm, 50)
+    t100, _ = total(warm, 100)
+    assert ls0 == ls  # the METRIC is the raw loss either way
+    np.testing.assert_allclose(t0, t_base - 4.0 * ls, rtol=1e-5)
+    np.testing.assert_allclose(t50, t_base - 2.0 * ls, rtol=1e-5)
+    np.testing.assert_allclose(t100, t_base, rtol=1e-5)
+
+
+def test_anchor_loss_pulls_corrections_to_identity():
+    """pose_anchor_weight regularizes the pre-offset corrections toward
+    identity (1 - w^2, sign-invariant), decaying to zero over
+    pose_anchor_steps (gauge-lottery mechanism b)."""
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                       pose_student=False, pose_anchor_weight=2.0,
+                       pose_anchor_steps=100)
+    batch = _fake_batch(cfg, B=1)
+    points = jnp.zeros((1, 16, 3))
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+    s = 1.0 / np.sqrt(2.0)
+    corr = jnp.asarray([[[1.0, 0, 0, 0], [s, 0, s, 0]]])  # id, 90deg
+    preds = {"points": points, "quats": quats, "correction_quats": corr}
+    key = jax.random.PRNGKey(1)
+
+    t0, m0 = compute_loss(cfg, preds, batch, jnp.asarray(0), key)
+    np.testing.assert_allclose(float(m0["loss_anchor"]), 0.25, rtol=1e-5)
+    # -identity is also zero-penalty (sign invariance)
+    preds_neg = dict(preds, correction_quats=-corr)
+    _, mneg = compute_loss(cfg, preds_neg, batch, jnp.asarray(0), key)
+    np.testing.assert_allclose(
+        float(mneg["loss_anchor"]), float(m0["loss_anchor"]), rtol=1e-6
+    )
+    # identity corrections -> zero anchor loss
+    preds_id = dict(
+        preds, correction_quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]),
+                                         (1, 2, 1))
+    )
+    _, mid = compute_loss(cfg, preds_id, batch, jnp.asarray(0), key)
+    assert float(mid["loss_anchor"]) == 0.0
+    # linear decay: contribution halves at step 50, gone by step 100
+    t50, _ = compute_loss(cfg, preds, batch, jnp.asarray(50), key)
+    t100, _ = compute_loss(cfg, preds, batch, jnp.asarray(100), key)
+    anchor0 = float(t0) - float(t100)
+    np.testing.assert_allclose(anchor0, 2.0 * 0.25, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(t50) - float(t100), anchor0 / 2.0, rtol=1e-3
+    )
+    # the model's pose head actually emits corrections, and the anchor
+    # gradient reaches its parameters
+    model = ModelPointCloud(cfg)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(params, img)
+    assert out["correction_quats"].shape == (1, 2, 4)
+
+    def loss_fn(p):
+        pr = model.apply(p, batch["image"][:1])
+        t, _ = compute_loss(cfg, pr, batch, jnp.asarray(0), key)
+        return t
+
+    g = jax.grad(loss_fn)(params)
+    assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(g))
+
+
 def test_rgb_loss_path():
     """pc_rgb: color head + rgb re-projection loss (BASELINE config 5)."""
     cfg = TINY.replace(pc_rgb=True, rgb_weight=1.0)

@@ -90,6 +90,31 @@ def test_predicted_pose_train_step():
     assert all(np.isfinite(losses))
 
 
+def test_pose_mechanisms_train_scan():
+    """The round-4 gauge-lottery mechanisms (anchor regularizer + student
+    warmup) run through the REAL device-resident scan train path — the
+    path the TPU screening sweep uses (scripts/pose_r2.py)."""
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=4,
+        batch_size=4,
+        pose_anchor_weight=1.0,
+        pose_anchor_steps=20,
+        pose_student_warmup_steps=10,
+        device_data=True,
+        log_every=2,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    _, hist = train(cfg, dataset=ds, max_steps=6, use_checkpoints=False)
+    assert hist, "no logged history"
+    for h in hist:
+        assert np.isfinite(h["loss_total"])
+    assert "loss_anchor" in hist[-1]
+    assert np.isfinite(hist[-1]["loss_anchor"])
+
+
 def test_periodic_eval_during_train(tmp_path):
     cfg = TINY.replace(
         eval_every=2, batch_size=4, checkpoint_dir=str(tmp_path)
