@@ -427,6 +427,21 @@ def gsplat_project(
     )
     rot_cam = quaternion_multiply(quat[:, None, :], rot)
     if cfg.gsplat_impl == "pallas":
+        if D > 32:
+            # Fail fast at trace time instead of burning a 2-10 min remote
+            # compile. Measured (NOTES.md round-3c, B=8 N=4096): at D=64
+            # the per-point-window kernel loses its cell advantage — f32
+            # fwd+bwd 0.36 Mpts/s vs dense fwd 1.04, and the bf16 fwd+bwd
+            # shape fails to compile (Mosaic/VMEM). The kernel wins only
+            # for D<=32 (bf16 fwd+bwd 4.02 vs dense 0.31). A z-blocked
+            # variant (pallas_blocked.py structure) is the open item if a
+            # D>=64 gsplat config ever matters.
+            raise ValueError(
+                f"gsplat_impl='pallas' supports vox_size<=32 (got {D}): "
+                "the per-point-window kernel is measured SLOWER than "
+                "gsplat_impl='dense' at D>=64 and its bf16 backward does "
+                "not compile. Use gsplat_impl='dense' for this config."
+            )
         out = anisotropic_density_grid_pallas(
             ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb,
             acc_dtype=cfg.pallas_acc_dtype,
