@@ -177,6 +177,13 @@ class Config:
     # --- parallelism (new capability; reference is single-GPU) ---
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all devices, data-parallel
     mesh_axes: tuple[str, ...] = ("data",)
+    # shard the POINT axis of the GT-pose render over the device mesh
+    # (render/sharded.py): the scale lever for clouds too large to splat
+    # on one device (N >> 100k). The mesh axis is consumed inside the
+    # loss, so the batch stays replicated — mutually exclusive with
+    # data-parallel batch sharding (train() keeps the outer mesh trivial
+    # when this is set). No-op on a single device.
+    shard_points: bool = False
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -182,6 +182,30 @@ def compute_loss(
                 rgb=rgb,
             )
             sil, depth, rgb_proj = out.silhouette, out.depth, out.rgb
+        elif cfg.shard_points and len(jax.devices()) > 1:
+            # point-sharded render (SURVEY §2.3 scale lever): each device
+            # splats its point shard, one psum over ICI merges the grids —
+            # for clouds too large to splat on one device. Batch stays
+            # replicated (train() keeps the outer mesh trivial).
+            from dpcx.parallel.mesh import make_mesh
+            from dpcx.render.sharded import (
+                pointcloud_project_point_sharded,
+            )
+
+            devs = jax.devices()
+            nd = len(devs)
+            while N % nd:
+                nd -= 1
+            out = pointcloud_project_point_sharded(
+                cfg,
+                make_mesh(cfg, devices=devs[:nd]),
+                pts,
+                quats,
+                sigma_rel,
+                point_weights=pw,
+                rgb=rgb,
+            )
+            sil, depth, rgb_proj = out.silhouette, out.depth, out.rgb
         elif rgb is None:
             sil, depth = _render_silhouettes(
                 cfg, pts, quats, sigma_rel, pw

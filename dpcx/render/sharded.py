@@ -173,6 +173,7 @@ def pointcloud_project_grid_sharded(
     quat: jax.Array,       # [B, 4]
     sigma_rel: jax.Array,
     point_weights: jax.Array | None = None,
+    rgb: jax.Array | None = None,            # [B, N, 3]
     axis: str = "data",
 ) -> RenderOut:
     """GRID-sharded renderer: each device owns a z-BLOCK of the D^3 grid
@@ -190,6 +191,13 @@ def pointcloud_project_grid_sharded(
     prefix (the transmittance entering its block), and silhouette/depth
     assemble with a psum. A D^3 grid never exists on any single device —
     memory per device is D^2 * (D/ndev + 2*radius).
+
+    ``rgb`` [B, N, 3] adds per-point color: the block's raw (pre-blur)
+    color numerator and density normalize locally — exact, since the
+    unsharded path also normalizes by the RAW density — and the expected
+    color composes blockwise through p_stop * t_in, psum'd. Both drc
+    modes (prod and logsum) compose exactly: the block transmittance is
+    the same quantity either way.
     """
     D = cfg.vox_size
     ndev = mesh.shape[axis]
@@ -211,15 +219,23 @@ def pointcloud_project_grid_sharded(
 
     pw_spec = P(None, None) if point_weights is not None else P()
     with_pw = point_weights is not None
+    with_rgb = rgb is not None
+    rgb_spec = P(None, None, None) if with_rgb else P()
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, None), P(None, None), pw_spec),
-        out_specs=(P(None, None, None), P(None, None, None)),
+        in_specs=(
+            P(None, None, None), P(None, None), pw_spec, rgb_spec,
+        ),
+        out_specs=(
+            P(None, None, None),
+            P(None, None, None),
+            P(None, None, None, None) if with_rgb else P(),
+        ),
         check_vma=False,
     )
-    def _render(pts, q, pw):
+    def _render(pts, q, pw, rgb_pts):
         di = jax.lax.axis_index(axis)
         z0 = di * Zl
         ndc = pc_perspective_transform(
@@ -253,6 +269,29 @@ def pointcloud_project_grid_sharded(
             jax.lax.map(slab, jnp.arange(Zl + 2 * R)), 0, 1
         )  # [B, Zl+2R, D, D]
 
+        if with_rgb:
+            # raw (pre-blur) color numerator + density for the local block
+            # ONLY (color is never blurred — same semantics as the
+            # unsharded path: rgb_grid = raw color / raw density, composed
+            # with the BLURRED grid's stop probabilities)
+            raw_loc = grid[:, R : R + Zl]
+
+            def col_slab(s):
+                wzy = wz_loc[:, :, R + s][..., None] * wy  # [B, N, D]
+                return jnp.einsum(
+                    "bnyc,bnx->byxc",
+                    wzy[..., None] * rgb_pts[:, :, None, :],
+                    wx,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            col_loc = jnp.moveaxis(
+                jax.lax.map(col_slab, jnp.arange(Zl)), 0, 1
+            )  # [B, Zl, D, D, 3]
+            rgb_grid_loc = col_loc / jnp.maximum(
+                raw_loc[..., None], 1e-6
+            )
+
         # blur: y/x with the full-width Toeplitz, z with a local band —
         # halo makes the crop exact
         p_hi = jax.lax.Precision.HIGHEST
@@ -263,12 +302,13 @@ def pointcloud_project_grid_sharded(
         grid = jnp.einsum("bzyx,zi->biyx", grid, Kz, precision=p_hi)
         o_loc = grid[:, R : R + Zl]
 
+        zrgb = jnp.zeros(())
         if cfg.proj_type != "drc":
             # clipped-sum projection is linear in z: psum the local sums
             sil = jnp.clip(
                 jax.lax.psum(jnp.sum(o_loc, axis=1), axis), 0.0, 1.0
             )
-            return sil, jnp.zeros_like(sil)
+            return sil, jnp.zeros_like(sil), zrgb
 
         # blockwise DRC across devices
         p_loc, t_blk = drc_event_probabilities(
@@ -283,9 +323,23 @@ def pointcloud_project_grid_sharded(
         )  # exclusive prefix transmittance
         total = jnp.prod(t_all, axis=0)
         sil = 1.0 - total
+        if with_rgb:
+            # expected color along each ray: the block's stop
+            # probabilities, attenuated by the transmittance entering the
+            # block, weight the block's raw-normalized colors; blocks sum
+            rgb_proj = jax.lax.psum(
+                jnp.einsum(
+                    "bzyx,bzyxc->byxc",
+                    p_loc * t_in[:, None],
+                    rgb_grid_loc,
+                ),
+                axis,
+            )
+        else:
+            rgb_proj = zrgb
         if not cfg.proj_depth:
             # skip the depth einsum AND its [B, Y, X] psum collective
-            return sil, jnp.zeros_like(sil)
+            return sil, jnp.zeros_like(sil), rgb_proj
         zs = (
             (z0 + jnp.arange(Zl, dtype=o_loc.dtype) + 0.5) / D - 0.5
         )
@@ -296,12 +350,20 @@ def pointcloud_project_grid_sharded(
             )
             + 1.0 * total
         )
-        return sil, depth
+        return sil, depth, rgb_proj
 
-    sil, depth = _render(
+    if with_rgb and cfg.proj_type != "drc":
+        raise ValueError(
+            "grid-sharded rgb requires proj_type='drc' (color composites "
+            "through the blockwise DRC stop probabilities)"
+        )
+    sil, depth, rgb_proj = _render(
         points, quat,
         point_weights if with_pw else jnp.zeros(()),
+        rgb if with_rgb else jnp.zeros(()),
     )
     return RenderOut(
-        silhouette=sil, depth=depth if cfg.proj_depth else None
+        silhouette=sil,
+        depth=depth if cfg.proj_depth else None,
+        rgb=rgb_proj if with_rgb else None,
     )

@@ -427,12 +427,18 @@ def train(
 ) -> tuple[TrainState, list[dict]]:
     """Full training entry (ref: dpc/run/train_eval.py::main)."""
     if mesh is None:
-        # batch must shard evenly: use the largest device count that
-        # divides the batch size
         devices = jax.devices()
-        n = len(devices)
-        while cfg.batch_size % n:
-            n -= 1
+        if cfg.shard_points:
+            # the device axis is consumed by point sharding inside the
+            # loss (models/losses.py -> render/sharded.py); the batch
+            # must stay replicated, so the OUTER mesh is trivial
+            n = 1
+        else:
+            # batch must shard evenly: use the largest device count that
+            # divides the batch size
+            n = len(devices)
+            while cfg.batch_size % n:
+                n -= 1
         mesh = make_mesh(cfg, devices=devices[:n])
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_state(cfg, rng)
