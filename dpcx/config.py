@@ -105,6 +105,13 @@ class Config:
     # pull hard while the gauge locks (coarse-sigma phase), then free the
     # corrections to fine-tune elevation/azimuth within their sector
     pose_anchor_steps: int = 0
+    # "full": anchor the whole correction to identity (measured HARMFUL on
+    # airplane at weight 1.0 — it also freezes the elevation correction
+    # during the lock-in window, so no candidate can match the view and
+    # the argmin stays noise). "azimuth": penalize only the vertical-axis
+    # component of the correction (q_y^2) — offsets keep owning their
+    # azimuth sector while elevation/roll corrections stay free
+    pose_anchor_mode: str = "full"
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 

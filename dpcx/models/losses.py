@@ -427,9 +427,18 @@ def compute_loss(
                     0.0,
                     1.0,
                 )
-            anchor_loss = jnp.mean(
-                1.0 - preds["correction_quats"][..., 0] ** 2
-            )
+            if cfg.pose_anchor_mode == "azimuth":
+                # penalize only the vertical-axis (azimuth) component of
+                # the correction: q = (w, x, y, z), rotation about the
+                # world-vertical y-axis has q_y = sin(theta/2) — elevation
+                # and roll corrections stay free to track the view
+                anchor_loss = jnp.mean(
+                    preds["correction_quats"][..., 2] ** 2
+                )
+            else:
+                anchor_loss = jnp.mean(
+                    1.0 - preds["correction_quats"][..., 0] ** 2
+                )
             total = total + aw * anchor_loss
             metrics["loss_anchor"] = anchor_loss
         if cfg.proj_depth and cfg.drc_weight > 0:

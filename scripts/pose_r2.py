@@ -47,6 +47,10 @@ p.add_argument("--anchor-weight", type=float, default=0.0,
                     "toward identity so offsets keep owning their sector)")
 p.add_argument("--anchor-steps", type=int, default=0,
                help=">0: anchor weight decays linearly to 0 by this step")
+p.add_argument("--anchor-mode", default="full",
+               choices=["full", "azimuth"],
+               help="full = whole correction to identity (measured "
+                    "harmful); azimuth = only the vertical-axis component")
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -105,6 +109,7 @@ cfg = Config(
     pose_student_warmup_steps=args.student_warmup,
     pose_anchor_weight=args.anchor_weight,
     pose_anchor_steps=args.anchor_steps,
+    pose_anchor_mode=args.anchor_mode,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

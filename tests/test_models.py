@@ -558,3 +558,31 @@ def test_rgb_warmup_ramps_selection_and_loss():
     # default (no warmup) == ramp 1
     cfg0 = Config(rgb_sel_normalize=True)
     assert float(rgb_ramp(cfg0, jnp.asarray(0))) == 1.0
+
+
+def test_anchor_azimuth_mode_frees_elevation():
+    """pose_anchor_mode='azimuth' penalizes only the vertical-axis
+    component of the correction: a pure elevation correction (x-axis
+    rotation) is free, a pure azimuth correction (y-axis) is penalized."""
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=1,
+                       pose_student=False, pose_anchor_weight=1.0,
+                       pose_anchor_mode="azimuth")
+    batch = _fake_batch(cfg, B=1)
+    points = jnp.zeros((1, 16, 3))
+    quats = jnp.asarray([[[1.0, 0, 0, 0]]])
+    key = jax.random.PRNGKey(1)
+    s = 1.0 / np.sqrt(2.0)
+    elev = jnp.asarray([[[s, s, 0.0, 0.0]]])   # 90 deg about x
+    azim = jnp.asarray([[[s, 0.0, s, 0.0]]])   # 90 deg about y
+
+    def anchor(corr):
+        _, m = compute_loss(
+            cfg, {"points": points, "quats": quats,
+                  "correction_quats": corr},
+            batch, jnp.asarray(0), key,
+        )
+        return float(m["loss_anchor"])
+
+    assert anchor(elev) == 0.0
+    np.testing.assert_allclose(anchor(azim), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(anchor(-azim), 0.5, rtol=1e-5)
