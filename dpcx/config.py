@@ -112,6 +112,19 @@ class Config:
     # component of the correction (q_y^2) — offsets keep owning their
     # azimuth sector while elevation/roll corrections stay free
     pose_anchor_mode: str = "full"
+    # soft-min -> hard-min annealing — round-4 gauge-lottery mechanism
+    # (d): replace the hard argmin over candidate scores with a softmax
+    # weighting at a temperature that decays linearly to 0 over
+    # pose_softmin_steps. Early in training every candidate receives
+    # (score-weighted) projection gradient, so the per-input gauge
+    # assignment stays PLASTIC instead of reinforcing whichever offset
+    # happened to win the first coin flips (failing seeds lock a
+    # per-input mirror gauge with flip_rate~0.5 — POSE_RESULTS finding
+    # 12). The temperature is RELATIVE: T = temp * stop_grad(batch-mean
+    # score) * (1 - step/steps), so the knob is dimensionless. 0 = the
+    # reference hard-min from step 0.
+    pose_softmin_temp: float = 0.0
+    pose_softmin_steps: int = 0
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 

@@ -377,18 +377,46 @@ def compute_loss(
         ramp = rgb_ramp(cfg, step)
         comb_k = candidate_scores(cfg, l_k, rgb_l_k, ramp)
         k_star = jnp.argmin(comb_k, axis=1)  # [B]
-        proj_loss = jnp.mean(
-            jnp.take_along_axis(l_k, k_star[:, None], axis=1)
-        )
+        if cfg.pose_softmin_temp > 0 and cfg.pose_softmin_steps > 0:
+            # mechanism (d): soft-min -> hard-min annealing (see
+            # config.pose_softmin_temp). Weights are a softmax over the
+            # (stop-gradient) selection scores at a relative temperature
+            # decaying to ~0, where they become numerically one-hot ==
+            # the hard-min; losing candidates keep receiving projection
+            # gradient while the temperature is warm, so early gauge
+            # coin flips stay reversible.
+            frac = jnp.clip(
+                1.0
+                - step.astype(jnp.float32) / cfg.pose_softmin_steps,
+                0.0,
+                1.0,
+            )
+            scores = jax.lax.stop_gradient(comb_k)
+            t_eff = (
+                cfg.pose_softmin_temp * frac * jnp.mean(scores) + 1e-8
+            )
+            sel_w = jax.nn.softmax(-scores / t_eff, axis=1)  # [B, K]
+            proj_loss = jnp.mean(jnp.sum(sel_w * l_k, axis=1))
+            metrics["sel_entropy"] = jnp.mean(
+                -jnp.sum(sel_w * jnp.log(sel_w + 1e-12), axis=1)
+            )
+        else:
+            sel_w = None
+            proj_loss = jnp.mean(
+                jnp.take_along_axis(l_k, k_star[:, None], axis=1)
+            )
         total = total + cfg.proj_weight * proj_loss
         metrics["loss_proj"] = proj_loss
         metrics["cand_spread"] = jnp.mean(
             comb_k.max(axis=1) - comb_k.min(axis=1)
         )
         if use_rgb:
-            rgb_loss = jnp.mean(
-                jnp.take_along_axis(rgb_l_k, k_star[:, None], axis=1)
-            )
+            if sel_w is not None:
+                rgb_loss = jnp.mean(jnp.sum(sel_w * rgb_l_k, axis=1))
+            else:
+                rgb_loss = jnp.mean(
+                    jnp.take_along_axis(rgb_l_k, k_star[:, None], axis=1)
+                )
             total = total + cfg.rgb_weight * ramp * rgb_loss
             metrics["loss_rgb"] = rgb_loss
         if cfg.pose_student and "student_quat" in preds:

@@ -51,6 +51,13 @@ p.add_argument("--anchor-mode", default="full",
                choices=["full", "azimuth"],
                help="full = whole correction to identity (measured "
                     "harmful); azimuth = only the vertical-axis component")
+p.add_argument("--softmin-temp", type=float, default=0.0,
+               help="soft-min -> hard-min annealing initial relative "
+                    "temperature (gauge-lottery mechanism d: losing "
+                    "candidates keep projection gradient while warm, so "
+                    "early gauge coin flips stay reversible)")
+p.add_argument("--softmin-steps", type=int, default=0,
+               help=">0: softmin temperature decays to 0 by this step")
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -110,6 +117,8 @@ cfg = Config(
     pose_anchor_weight=args.anchor_weight,
     pose_anchor_steps=args.anchor_steps,
     pose_anchor_mode=args.anchor_mode,
+    pose_softmin_temp=args.softmin_temp,
+    pose_softmin_steps=args.softmin_steps,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

@@ -586,3 +586,53 @@ def test_anchor_azimuth_mode_frees_elevation():
     assert anchor(elev) == 0.0
     np.testing.assert_allclose(anchor(azim), 0.5, rtol=1e-5)
     np.testing.assert_allclose(anchor(-azim), 0.5, rtol=1e-5)
+
+
+def test_softmin_annealing_warms_losers_and_converges_to_hardmin():
+    """pose_softmin_temp > 0 (gauge-lottery mechanism d): while the
+    temperature is warm every candidate receives projection gradient
+    (losing candidates included); once the temperature has decayed
+    (step >= pose_softmin_steps) the loss value equals the hard-min
+    loss and the loser's gradient is gated to zero again."""
+    base = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                        pose_student=False)
+    soft = base.replace(pose_softmin_temp=1.0, pose_softmin_steps=100)
+    B, N = 1, 16
+    points = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, N, 3), minval=-0.3, maxval=0.3
+    )
+    batch = _fake_batch(base, B=B)
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+
+    def loss_fn(cfg, step):
+        def f(q):
+            loss, m = compute_loss(
+                cfg, {"points": points, "quats": q}, batch,
+                jnp.asarray(step), jax.random.PRNGKey(1),
+            )
+            return loss, m
+        return f
+
+    # warm phase: both candidates get gradient, entropy is reported
+    (l_soft, m), g = jax.value_and_grad(
+        loss_fn(soft, 0), has_aux=True
+    )(quats)
+    assert float(jnp.abs(g[0, 0]).max()) > 0.0
+    assert float(jnp.abs(g[0, 1]).max()) > 0.0
+    assert 0.0 < float(m["sel_entropy"]) <= np.log(2.0) + 1e-6
+
+    # decayed phase: loss matches the hard-min loss, loser grad gated off
+    (_, m_cold), g_cold = jax.value_and_grad(
+        loss_fn(soft, 100), has_aux=True
+    )(quats)
+    (_, m_hard), g_hard = jax.value_and_grad(
+        loss_fn(base, 100), has_aux=True
+    )(quats)
+    np.testing.assert_allclose(
+        float(m_cold["loss_proj"]), float(m_hard["loss_proj"]), rtol=1e-6
+    )
+    winner = 0 if float(jnp.abs(g_hard[0, 0]).max()) > 0 else 1
+    loser = 1 - winner
+    assert float(jnp.abs(g_hard[0, loser]).max()) == 0.0
+    assert float(jnp.abs(g_cold[0, loser]).max()) < 1e-12
+    assert float(jnp.abs(g_cold[0, winner]).max()) > 0.0

@@ -103,6 +103,8 @@ def test_pose_mechanisms_train_scan():
         pose_anchor_weight=1.0,
         pose_anchor_steps=20,
         pose_student_warmup_steps=10,
+        pose_softmin_temp=1.0,
+        pose_softmin_steps=20,
         device_data=True,
         log_every=2,
     )
@@ -113,6 +115,8 @@ def test_pose_mechanisms_train_scan():
         assert np.isfinite(h["loss_total"])
     assert "loss_anchor" in hist[-1]
     assert np.isfinite(hist[-1]["loss_anchor"])
+    assert "sel_entropy" in hist[-1]
+    assert np.isfinite(hist[-1]["sel_entropy"])
 
 
 def test_periodic_eval_during_train(tmp_path):
