@@ -185,12 +185,86 @@ def evaluate_category_slices(
     return table
 
 
+def resolve_pose_flips(
+    cfg: Config,
+    points: np.ndarray,
+    quats: np.ndarray,
+    masks: np.ndarray,
+    batch_size: int = 16,
+) -> tuple[np.ndarray, float]:
+    """Unsupervised test-time mirror disambiguation (round 4).
+
+    For each sample, render the PREDICTED cloud under the predicted pose
+    q and under q∘FLIP (the 180° vertical-axis object flip — the mirror
+    gauge that dominates unsupervised-pose errors, POSE_RESULTS findings
+    9/12), compare both silhouettes to the sample's OWN input-view mask,
+    and keep the lower-error hypothesis. Uses only input-modality data
+    (the mask the training loss also consumes), never GT poses.
+
+    This can only separate the hypotheses when the decoder's canonical
+    frame generalizes consistently on held-out inputs while the pose
+    head's per-input mirror gauge does not: during training the decoder
+    co-flips the shape with the pose (finding 2's memorization), making
+    the pair degenerate ON TRAINING DATA — on held-out data the two
+    heads' generalizations can decouple, which is what this probe
+    measures. Returns (resolved quats [M, 4], changed fraction).
+    """
+    from dpcx.eval.pose_metrics import FLIP_QUAT
+    from dpcx.geometry.quaternion import quaternion_multiply
+    from dpcx.render.project import pointcloud_project_fn, sigma_schedule
+
+    M = quats.shape[0]
+    D = cfg.vox_size
+    sig = sigma_schedule(cfg, jnp.asarray(10**9))
+    # the hypothesis renders are tiny (2 sils per sample, once) — the XLA
+    # path avoids compiling a fresh pallas shape just for the resolver
+    rcfg = cfg.replace(renderer="xla")
+    splat = "matmul" if jax.default_backend() == "tpu" else "scatter"
+
+    @jax.jit
+    def errs(pts, q, m):
+        qf = quaternion_multiply(q, FLIP_QUAT[None].astype(q.dtype))
+        out = pointcloud_project_fn(
+            rcfg,
+            jnp.concatenate([pts, pts], axis=0),
+            jnp.concatenate([q, qf], axis=0),
+            sig,
+            splat=splat,
+        )
+        md = jax.image.resize(m, (m.shape[0], D, D), method="bilinear")
+        md = jnp.concatenate([md, md], axis=0)
+        e = jnp.mean((out.silhouette - md) ** 2, axis=(1, 2))
+        b = q.shape[0]
+        return e[:b], e[b:]
+
+    flip = np.zeros(M, bool)
+    for start in range(0, M, batch_size):
+        idx = np.arange(start, min(start + batch_size, M))
+        pad = batch_size - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        e0, e1 = errs(
+            jnp.asarray(points[idx_p], jnp.float32),
+            jnp.asarray(quats[idx_p], jnp.float32),
+            jnp.asarray(masks[idx_p], jnp.float32),
+        )
+        flip[idx] = np.asarray(e1 < e0)[: len(idx)]
+    resolved = np.where(
+        flip[:, None],
+        np.asarray(
+            quaternion_multiply(jnp.asarray(quats), FLIP_QUAT[None])
+        ),
+        quats,
+    )
+    return resolved, float(flip.mean())
+
+
 def evaluate(
     cfg: Config,
     params,
     dataset: Dataset,
     view_idx: int | None = 0,
     batch_size: int = 16,
+    flip_resolve: bool = False,
 ) -> dict[str, float]:
     """Chamfer (+ pose) eval over a dataset (ref: predict_eval protocol).
 
@@ -259,6 +333,38 @@ def evaluate(
         metrics["pose_flip_rate"] = float(
             jnp.mean((e1 < e0).astype(jnp.float32))
         )
+        if flip_resolve:
+            # unsupervised test-time mirror disambiguation against each
+            # sample's OWN input-view mask (see resolve_pose_flips)
+            if view_idx is None:
+                masks_in = np.concatenate(
+                    [
+                        np.asarray(dataset.records["masks"][:, v])
+                        for v in range(dataset.num_views)
+                    ]
+                )
+            else:
+                masks_in = np.asarray(
+                    dataset.records["masks"][:, view_idx]
+                )
+            rq, changed = resolve_pose_flips(
+                cfg,
+                np.asarray(preds["points"]),
+                np.asarray(preds["pose"]),
+                masks_in,
+                batch_size,
+            )
+            _, aligned_r = align_canonical_frame(
+                jnp.asarray(rq, jnp.float32), gt_quats
+            )
+            pr = pose_error_metrics(aligned_r, gt_quats)
+            metrics["pose_acc_30deg_flip_resolved"] = float(
+                pr["acc_30deg"]
+            )
+            metrics["pose_median_err_deg_flip_resolved"] = float(
+                pr["median_err_deg"]
+            )
+            metrics["flip_resolve_changed"] = changed
         from dpcx.geometry.quaternion import (
             quaternion_conjugate,
             quaternion_rotate,

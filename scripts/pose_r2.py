@@ -145,7 +145,8 @@ print(
     f"({hist[-1].get('steps_per_sec', 0):.1f} steps/s)",
     flush=True,
 )
-final_ev = evaluate(cfg, state.params, ev, view_idx=None, batch_size=16)
+final_ev = evaluate(cfg, state.params, ev, view_idx=None, batch_size=16,
+                    flip_resolve=True)
 final_tr = evaluate(
     cfg,
     state.params,

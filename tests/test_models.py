@@ -636,3 +636,48 @@ def test_softmin_annealing_warms_losers_and_converges_to_hardmin():
     assert float(jnp.abs(g_hard[0, loser]).max()) == 0.0
     assert float(jnp.abs(g_cold[0, loser]).max()) < 1e-12
     assert float(jnp.abs(g_cold[0, winner]).max()) > 0.0
+
+
+def test_resolve_pose_flips_detects_mirror_gauge():
+    """Test-time mirror disambiguation (round 4): given an ASYMMETRIC
+    cloud, per-sample mirror-flipped pose predictions are detected and
+    corrected against each sample's own input-view mask — no GT poses
+    consumed. Unflipped samples are left alone."""
+    from dpcx.eval.pose_metrics import FLIP_QUAT
+    from dpcx.geometry.quaternion import (
+        quaternion_angular_distance,
+        quaternion_multiply,
+        quaternion_normalize,
+    )
+    from dpcx.predict import resolve_pose_flips
+    from dpcx.render.project import pointcloud_project_fn, sigma_schedule
+
+    cfg = TINY
+    M, N = 6, 64
+    key = jax.random.PRNGKey(3)
+    base = jax.random.uniform(key, (N, 3), minval=-0.3, maxval=0.3)
+    # one-sided feature so the mirror hypothesis renders differently
+    feat = jnp.asarray([0.35, 0.0, 0.0]) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(4), (N // 4, 3)
+    )
+    pts = jnp.concatenate([base[: N - N // 4], feat])[None]
+    pts = jnp.tile(pts, (M, 1, 1))
+    quats = quaternion_normalize(
+        jax.random.normal(jax.random.PRNGKey(5), (M, 4))
+    )
+    sig = sigma_schedule(cfg, jnp.asarray(10**9))
+    masks = pointcloud_project_fn(cfg, pts, quats, sig).silhouette
+
+    flip_mask = np.array([True, False, True, False, True, False])
+    flipped = quaternion_multiply(quats, FLIP_QUAT[None])
+    pred_q = jnp.where(flip_mask[:, None], flipped, quats)
+
+    resolved, changed = resolve_pose_flips(
+        cfg, np.asarray(pts), np.asarray(pred_q), np.asarray(masks),
+        batch_size=4,
+    )
+    err = quaternion_angular_distance(
+        jnp.asarray(resolved), quats
+    ) * 180 / np.pi
+    assert float(err.max()) < 1.0, np.asarray(err)
+    np.testing.assert_allclose(changed, flip_mask.mean())
