@@ -125,6 +125,15 @@ class Config:
     # reference hard-min from step 0.
     pose_softmin_temp: float = 0.0
     pose_softmin_steps: int = 0
+    # cross-view shape consistency — round-4 gauge-lottery mechanism (e):
+    # decode a SECOND view of the same model each step and penalize the
+    # symmetric Chamfer distance between the two canonical clouds. A
+    # per-input mirror gauge makes two views of one model decode to
+    # mirrored canonical shapes, which this term punishes directly —
+    # ties the gauge per MODEL without any pose supervision. Motivated by
+    # the flip-resolver negative (the decoder co-flips with the pose even
+    # on held-out inputs, so the gauge must be fixed at training time).
+    pose_consistency_weight: float = 0.0
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 

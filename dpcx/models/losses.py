@@ -469,6 +469,25 @@ def compute_loss(
                 )
             total = total + aw * anchor_loss
             metrics["loss_anchor"] = anchor_loss
+        if (
+            cfg.pose_consistency_weight > 0
+            and "points_view2" in preds
+        ):
+            # mechanism (e), cross-view shape consistency: two input
+            # views of the same model must decode to the same canonical
+            # cloud. A per-input mirror gauge decodes mirrored canonical
+            # shapes for different views of one model — the symmetric
+            # Chamfer between them punishes exactly that, with no pose
+            # supervision (the flip-resolver negative showed the gauge
+            # is a consistent function of the input on BOTH heads, so it
+            # must be broken at training time).
+            from dpcx.eval.chamfer import chamfer_distance
+
+            cons = jnp.mean(
+                chamfer_distance(points, preds["points_view2"])["chamfer"]
+            )
+            total = total + cfg.pose_consistency_weight * cons
+            metrics["loss_consistency"] = cons
         if cfg.proj_depth and cfg.drc_weight > 0:
             depth = depth.reshape(B, K, V, D, D)
             d_win = jnp.take_along_axis(

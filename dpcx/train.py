@@ -62,6 +62,11 @@ def train_step(
 
     def loss_fn(params):
         preds = state.apply_fn(params, batch["image"])
+        if "image_in2" in batch:
+            # mechanism (e), cross-view consistency (see train_steps_scan)
+            preds["points_view2"] = state.apply_fn(
+                params, batch["image_in2"]
+            )["points"]
         return compute_loss(
             cfg, preds, batch, state.step, step_key, train=True
         )
@@ -135,9 +140,24 @@ def train_steps_scan(
             batch["quat_in"] = take_mv(records["quats"], rows_in)
         if cfg.pc_rgb:
             batch["images_tgt"] = take_mv(records["images"], rows_tgt)
+        if cfg.pose_consistency_weight > 0:
+            # mechanism (e): a SECOND input view of the same model (key
+            # derived by fold_in so existing configs' batch streams are
+            # untouched); guaranteed != v_in when V >= 2
+            k_vin2 = jax.random.fold_in(kk, 7)
+            v_in2 = (
+                v_in + 1 + jax.random.randint(k_vin2, (B,), 0, V - 1)
+            ) % V
+            batch["image_in2"] = take_mv(
+                records["images"], m * V + v_in2
+            )
 
         def loss_fn(params):
             preds = state.apply_fn(params, batch["image"])
+            if "image_in2" in batch:
+                preds["points_view2"] = state.apply_fn(
+                    params, batch["image_in2"]
+                )["points"]
             return compute_loss(
                 cfg, preds, batch, state.step, k_drop, train=True
             )
@@ -240,9 +260,24 @@ def train_steps_scan_dp(
                 batch["quat_in"] = take_mv(records["quats"], rows_in)
             if cfg.pc_rgb:
                 batch["images_tgt"] = take_mv(records["images"], rows_tgt)
+            if cfg.pose_consistency_weight > 0:
+                # mechanism (e): see train_steps_scan
+                k_vin2 = jax.random.fold_in(kk, 7)
+                v_in2 = (
+                    v_in
+                    + 1
+                    + jax.random.randint(k_vin2, (B_local,), 0, V - 1)
+                ) % V
+                batch["image_in2"] = take_mv(
+                    records["images"], m * V + v_in2
+                )
 
             def loss_fn(params):
                 preds = state.apply_fn(params, batch["image"])
+                if "image_in2" in batch:
+                    preds["points_view2"] = state.apply_fn(
+                        params, batch["image_in2"]
+                    )["points"]
                 return compute_loss(
                     cfg, preds, batch, state.step, k_drop, train=True
                 )

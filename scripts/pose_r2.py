@@ -58,6 +58,11 @@ p.add_argument("--softmin-temp", type=float, default=0.0,
                     "early gauge coin flips stay reversible)")
 p.add_argument("--softmin-steps", type=int, default=0,
                help=">0: softmin temperature decays to 0 by this step")
+p.add_argument("--consistency-weight", type=float, default=0.0,
+               help="cross-view canonical-shape Chamfer consistency "
+                    "(gauge-lottery mechanism e: two views of one model "
+                    "must decode to the same canonical cloud, which "
+                    "punishes per-input mirror gauges directly)")
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -119,6 +124,7 @@ cfg = Config(
     pose_anchor_mode=args.anchor_mode,
     pose_softmin_temp=args.softmin_temp,
     pose_softmin_steps=args.softmin_steps,
+    pose_consistency_weight=args.consistency_weight,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

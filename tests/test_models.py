@@ -681,3 +681,34 @@ def test_resolve_pose_flips_detects_mirror_gauge():
     ) * 180 / np.pi
     assert float(err.max()) < 1.0, np.asarray(err)
     np.testing.assert_allclose(changed, flip_mask.mean())
+
+
+def test_cross_view_consistency_penalizes_mirrored_decodes():
+    """Mechanism (e): identical canonical clouds from two views cost ~0;
+    a mirrored second decode is penalized."""
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=2,
+                       pose_student=False, pose_consistency_weight=1.0)
+    batch = _fake_batch(cfg, B=1)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (1, 32, 3), minval=-0.3, maxval=0.3
+    )
+    quats = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1.0, 0, 0]]])
+
+    def metrics_for(p2):
+        _, m = compute_loss(
+            cfg,
+            {"points": pts, "quats": quats, "points_view2": p2},
+            batch, jnp.asarray(0), jax.random.PRNGKey(1),
+        )
+        return m
+
+    m_same = metrics_for(pts)
+    m_mirror = metrics_for(pts * jnp.asarray([-1.0, 1.0, 1.0]))
+    assert float(m_same["loss_consistency"]) < 1e-9
+    assert float(m_mirror["loss_consistency"]) > 1e-3
+    # without the second decode the term is absent
+    _, m_off = compute_loss(
+        cfg, {"points": pts, "quats": quats}, batch,
+        jnp.asarray(0), jax.random.PRNGKey(1),
+    )
+    assert "loss_consistency" not in m_off

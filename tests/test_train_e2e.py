@@ -105,6 +105,7 @@ def test_pose_mechanisms_train_scan():
         pose_student_warmup_steps=10,
         pose_softmin_temp=1.0,
         pose_softmin_steps=20,
+        pose_consistency_weight=0.1,
         device_data=True,
         log_every=2,
     )
@@ -117,6 +118,8 @@ def test_pose_mechanisms_train_scan():
     assert np.isfinite(hist[-1]["loss_anchor"])
     assert "sel_entropy" in hist[-1]
     assert np.isfinite(hist[-1]["sel_entropy"])
+    assert "loss_consistency" in hist[-1]
+    assert np.isfinite(hist[-1]["loss_consistency"])
 
 
 def test_periodic_eval_during_train(tmp_path):
