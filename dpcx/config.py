@@ -134,6 +134,22 @@ class Config:
     # the flip-resolver negative (the decoder co-flips with the pose even
     # on held-out inputs, so the gauge must be fixed at training time).
     pose_consistency_weight: float = 0.0
+    # pose-from-views — round-4 gauge-lottery mechanism (f), and the
+    # reference's actual unknown-pose protocol (dpc paper §"learning with
+    # unknown pose": shape and pose are predicted from DIFFERENT views of
+    # the object): each target view's K candidate poses are predicted
+    # from THAT view's own image and the input view's shape is rendered
+    # under them directly (q_k(v) = object->camera_v), with the hard-min
+    # selection per (sample, view). False = pose predicted from the input
+    # view and composed with GT relative rig rotations (q_rel(v) * q_k) —
+    # the rounds-1-3 formulation, which needs MORE supervision (the rig)
+    # and lets a mirrored (shape, pose) pair stay self-consistent because
+    # both flip bits come from the same image: the per-input mirror coin
+    # flip of POSE_RESULTS finding 12. With per-view poses the shape's
+    # flip bit (input view) and each pose's flip bit (target views) are
+    # computed from different images, so random view pairings punish any
+    # per-IMAGE gauge and force a per-OBJECT canonical frame.
+    pose_from_views: bool = False
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 

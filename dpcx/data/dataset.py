@@ -62,6 +62,18 @@ class Dataset:
             # (config 5 of BASELINE.json; no reference counterpart beyond
             # the rgb channels of pointcloud2voxels3d_fast)
             batch["images_tgt"] = self.records["images"][m[:, None], v_tgt]
+        if self.cfg.pose_from_views:
+            # mechanism (f): each target view's pose is predicted from
+            # that view's own image (same rows as the masks)
+            batch["images_v"] = self.records["images"][m[:, None], v_tgt]
+        if self.cfg.pose_consistency_weight > 0 and self.num_views >= 2:
+            # mechanism (e): a second input view of the same model
+            v_in2 = (
+                v_in
+                + 1
+                + rng.integers(0, self.num_views - 1, size=batch_size)
+            ) % self.num_views
+            batch["image_in2"] = self.records["images"][m, v_in2]
         return batch
 
     def eval_batch(self, model_idx: np.ndarray, view_idx: int = 0) -> dict:

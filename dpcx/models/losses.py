@@ -256,15 +256,35 @@ def compute_loss(
     else:
         # --- predicted pose: K candidates, hard-min selection ---
         K = cfg.pose_predict_num_candidates
-        cand = preds["quats"]  # [B, K, 4]
-        q_in = batch["quat_in"]  # [B, 4]
-        q_rel = quaternion_multiply(
-            batch["quats"], quaternion_conjugate(q_in)[:, None, :]
-        )  # [B, V, 4]
-        # q_obj->cam_v for each (candidate, view): q_rel(v) * q_k
-        q_full = quaternion_multiply(
-            q_rel[:, None, :, :], cand[:, :, None, :]
-        )  # [B, K, V, 4]
+        per_view_pose = cfg.pose_from_views and "quats_views" in preds
+        if per_view_pose:
+            # mechanism (f), the reference's unknown-pose protocol (dpc
+            # paper: shape and pose predicted from DIFFERENT views): each
+            # target view's candidates were predicted from that view's own
+            # image (model_pc.pose_only), so q_k(v) IS object->camera_v —
+            # no GT relative rig transform enters the loss. The shape's
+            # mirror bit (input-view features) and each pose's mirror bit
+            # (target-view features) now come from different images, so a
+            # per-IMAGE gauge coin flip raises the loss on random view
+            # pairings; only a per-OBJECT canonical frame survives.
+            if "translation" in preds:
+                raise ValueError(
+                    "pose_from_views with predict_translation is not "
+                    "supported: translations would need to be predicted "
+                    "per target view as well"
+                )
+            cand_v = preds["quats_views"]  # [B, V, K, 4]
+            q_full = jnp.swapaxes(cand_v, 1, 2)  # [B, K, V, 4]
+        else:
+            cand = preds["quats"]  # [B, K, 4]
+            q_in = batch["quat_in"]  # [B, 4]
+            q_rel = quaternion_multiply(
+                batch["quats"], quaternion_conjugate(q_in)[:, None, :]
+            )  # [B, V, 4]
+            # q_obj->cam_v for each (candidate, view): q_rel(v) * q_k
+            q_full = quaternion_multiply(
+                q_rel[:, None, :, :], cand[:, :, None, :]
+            )  # [B, K, V, 4]
         pts = jnp.broadcast_to(
             points[:, None, None], (B, K, V, N, 3)
         ).reshape(B * K * V, N, 3)
@@ -353,8 +373,11 @@ def compute_loss(
             )
             rgb_proj = None
         sil = sil.reshape(B, K, V, D, D)
-        # per-sample per-candidate loss, averaged over views+pixels
-        l_k = jnp.mean((sil - masks[:, None]) ** 2, axis=(2, 3, 4))  # [B, K]
+        # per-sample per-candidate loss, averaged over pixels (+views in
+        # input-view-pose mode; per-view selection keeps the view axis:
+        # each view's pose ensemble picks its own winner)
+        l_kv = jnp.mean((sil - masks[:, None]) ** 2, axis=(3, 4))  # [B,K,V]
+        l_k = l_kv if per_view_pose else jnp.mean(l_kv, axis=2)
         rgb_l_k = None
         if use_rgb:
             tgt = jax.image.resize(
@@ -365,15 +388,27 @@ def compute_loss(
                 1.0 - sil[..., None]
             ) * cfg.rgb_background
             w = masks[:, None, :, :, :, None]  # [B, 1, V, D, D, 1]
-            denom = jnp.maximum(
-                jnp.sum(w, axis=(2, 3, 4, 5)) * 3.0, 1.0
-            )  # [B, 1]
-            rgb_l_k = (
-                jnp.sum(
-                    w * (rgb_cmp - tgt[:, None]) ** 2, axis=(2, 3, 4, 5)
-                )
-                / denom
-            )  # [B, K]
+            if per_view_pose:
+                denom = jnp.maximum(
+                    jnp.sum(w, axis=(3, 4, 5)) * 3.0, 1.0
+                )  # [B, 1, V]
+                rgb_l_k = (
+                    jnp.sum(
+                        w * (rgb_cmp - tgt[:, None]) ** 2, axis=(3, 4, 5)
+                    )
+                    / denom
+                )  # [B, K, V]
+            else:
+                denom = jnp.maximum(
+                    jnp.sum(w, axis=(2, 3, 4, 5)) * 3.0, 1.0
+                )  # [B, 1]
+                rgb_l_k = (
+                    jnp.sum(
+                        w * (rgb_cmp - tgt[:, None]) ** 2,
+                        axis=(2, 3, 4, 5),
+                    )
+                    / denom
+                )  # [B, K]
         ramp = rgb_ramp(cfg, step)
         comb_k = candidate_scores(cfg, l_k, rgb_l_k, ramp)
         k_star = jnp.argmin(comb_k, axis=1)  # [B]
@@ -419,13 +454,30 @@ def compute_loss(
                 )
             total = total + cfg.rgb_weight * ramp * rgb_loss
             metrics["loss_rgb"] = rgb_loss
-        if cfg.pose_student and "student_quat" in preds:
-            q_teacher = jax.lax.stop_gradient(
-                jnp.take_along_axis(
-                    cand, k_star[:, None, None], axis=1
-                ).squeeze(1)
-            )  # [B, 4]
-            dot = jnp.sum(preds["student_quat"] * q_teacher, axis=-1)
+        if cfg.pose_student and (
+            "student_quat_views" in preds
+            if per_view_pose
+            else "student_quat" in preds
+        ):
+            if per_view_pose:
+                # per-view teacher/student: each view's winning candidate
+                # distills into the student prediction from that view's
+                # own image — the student head learns image -> camera pose
+                # exactly as it is used at predict time
+                q_teacher = jax.lax.stop_gradient(
+                    jnp.take_along_axis(
+                        cand_v, k_star[:, :, None, None], axis=2
+                    ).squeeze(2)
+                )  # [B, V, 4]
+                s_quat = preds["student_quat_views"]  # [B, V, 4]
+            else:
+                q_teacher = jax.lax.stop_gradient(
+                    jnp.take_along_axis(
+                        cand, k_star[:, None, None], axis=1
+                    ).squeeze(1)
+                )  # [B, 4]
+                s_quat = preds["student_quat"]
+            dot = jnp.sum(s_quat * q_teacher, axis=-1)
             student_loss = jnp.mean(1.0 - dot**2)  # sign-invariant
             sw = jnp.asarray(cfg.pose_student_weight, jnp.float32)
             if cfg.pose_student_warmup_steps > 0:
@@ -455,18 +507,19 @@ def compute_loss(
                     0.0,
                     1.0,
                 )
+            corr = (
+                preds["correction_quats_views"]
+                if per_view_pose and "correction_quats_views" in preds
+                else preds["correction_quats"]
+            )
             if cfg.pose_anchor_mode == "azimuth":
                 # penalize only the vertical-axis (azimuth) component of
                 # the correction: q = (w, x, y, z), rotation about the
                 # world-vertical y-axis has q_y = sin(theta/2) — elevation
                 # and roll corrections stay free to track the view
-                anchor_loss = jnp.mean(
-                    preds["correction_quats"][..., 2] ** 2
-                )
+                anchor_loss = jnp.mean(corr[..., 2] ** 2)
             else:
-                anchor_loss = jnp.mean(
-                    1.0 - preds["correction_quats"][..., 0] ** 2
-                )
+                anchor_loss = jnp.mean(1.0 - corr[..., 0] ** 2)
             total = total + aw * anchor_loss
             metrics["loss_anchor"] = anchor_loss
         if (
@@ -488,19 +541,20 @@ def compute_loss(
             )
             total = total + cfg.pose_consistency_weight * cons
             metrics["loss_consistency"] = cons
+        win_idx = (
+            k_star[:, None, :, None, None]
+            if per_view_pose
+            else k_star[:, None, None, None, None]
+        )  # broadcast index into the K axis of [B, K, V, D, D]
         if cfg.proj_depth and cfg.drc_weight > 0:
             depth = depth.reshape(B, K, V, D, D)
-            d_win = jnp.take_along_axis(
-                depth, k_star[:, None, None, None, None], axis=1
-            ).squeeze(1)
+            d_win = jnp.take_along_axis(depth, win_idx, axis=1).squeeze(1)
             d_loss = jnp.mean(
                 _masked_depth_loss(d_win, batch["depths"], masks)
             )
             total = total + cfg.drc_weight * d_loss
             metrics["loss_depth"] = d_loss
-        sil_win = jnp.take_along_axis(
-            sil, k_star[:, None, None, None, None], axis=1
-        ).squeeze(1)
+        sil_win = jnp.take_along_axis(sil, win_idx, axis=1).squeeze(1)
         pred_m = sil_win[:, 0] > 0.4
         gt_m = masks[:, 0] > 0.5
         inter = jnp.sum(pred_m & gt_m, axis=(-2, -1))

@@ -73,3 +73,16 @@ class ModelPointCloud(nn.Module):
             pose = self.pose_head(enc["pose_inp"])
             out.update(pose)
         return out
+
+    def pose_only(self, images: jax.Array) -> dict[str, jax.Array]:
+        """Pose heads only: images [M, H, W, 3] -> {"quats": [M, K, 4],
+        "correction_quats": [M, K, 4], "student_quat"?: [M, 4]}.
+
+        Used by cfg.pose_from_views (the reference's unknown-pose
+        protocol, dpc paper: shape and pose predicted from DIFFERENT
+        views) to predict each target view's pose from its own image
+        without decoding a shape — the decoder (the bulk of the model's
+        parameters) runs once, on the input view only.
+        """
+        enc = self.encoder(images)
+        return self.pose_head(enc["pose_inp"])

@@ -50,6 +50,44 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
     )
 
 
+def apply_model(
+    cfg: Config,
+    apply_fn,
+    params,
+    batch: dict[str, jax.Array],
+) -> dict[str, jax.Array]:
+    """Full model application for one training batch: the input-view
+    forward plus the auxiliary applications some loss terms need — the
+    second-view decode of the consistency loss (mechanism e) and the
+    per-view pose heads of cfg.pose_from_views (mechanism f, the
+    reference's shape-and-pose-from-different-views protocol). Single
+    source shared by train_step and both device-resident scan paths."""
+    preds = apply_fn(params, batch["image"])
+    if "image_in2" in batch:
+        preds["points_view2"] = apply_fn(params, batch["image_in2"])[
+            "points"
+        ]
+    if "images_v" in batch:
+        # encoder + pose head only per target view — the decoder (the
+        # bulk of the parameters) runs once, on the input view
+        iv = batch["images_v"]
+        Bv, Vu = iv.shape[:2]
+        pv = apply_fn(
+            params,
+            iv.reshape((Bv * Vu,) + iv.shape[2:]),
+            method="pose_only",
+        )
+        preds["quats_views"] = pv["quats"].reshape(Bv, Vu, -1, 4)
+        preds["correction_quats_views"] = pv["correction_quats"].reshape(
+            Bv, Vu, -1, 4
+        )
+        if "student_quat" in pv:
+            preds["student_quat_views"] = pv["student_quat"].reshape(
+                Bv, Vu, 4
+            )
+    return preds
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def train_step(
     cfg: Config,
@@ -61,12 +99,7 @@ def train_step(
     step_key = jax.random.fold_in(key, state.step)
 
     def loss_fn(params):
-        preds = state.apply_fn(params, batch["image"])
-        if "image_in2" in batch:
-            # mechanism (e), cross-view consistency (see train_steps_scan)
-            preds["points_view2"] = state.apply_fn(
-                params, batch["image_in2"]
-            )["points"]
+        preds = apply_model(cfg, state.apply_fn, params, batch)
         return compute_loss(
             cfg, preds, batch, state.step, step_key, train=True
         )
@@ -151,13 +184,13 @@ def train_steps_scan(
             batch["image_in2"] = take_mv(
                 records["images"], m * V + v_in2
             )
+        if cfg.pose_from_views:
+            # mechanism (f): the pose for each target view is predicted
+            # from that view's own image (same gather rows as the masks)
+            batch["images_v"] = take_mv(records["images"], rows_tgt)
 
         def loss_fn(params):
-            preds = state.apply_fn(params, batch["image"])
-            if "image_in2" in batch:
-                preds["points_view2"] = state.apply_fn(
-                    params, batch["image_in2"]
-                )["points"]
+            preds = apply_model(cfg, state.apply_fn, params, batch)
             return compute_loss(
                 cfg, preds, batch, state.step, k_drop, train=True
             )
@@ -271,13 +304,12 @@ def train_steps_scan_dp(
                 batch["image_in2"] = take_mv(
                     records["images"], m * V + v_in2
                 )
+            if cfg.pose_from_views:
+                # mechanism (f): see train_steps_scan
+                batch["images_v"] = take_mv(records["images"], rows_tgt)
 
             def loss_fn(params):
-                preds = state.apply_fn(params, batch["image"])
-                if "image_in2" in batch:
-                    preds["points_view2"] = state.apply_fn(
-                        params, batch["image_in2"]
-                    )["points"]
+                preds = apply_model(cfg, state.apply_fn, params, batch)
                 return compute_loss(
                     cfg, preds, batch, state.step, k_drop, train=True
                 )
@@ -672,4 +704,8 @@ def _prep_batch(batch: dict, cfg: Config) -> dict:
         )
     if cfg.pc_rgb and "images_tgt" in batch:
         out["images_tgt"] = jnp.asarray(batch["images_tgt"], jnp.float32)
+    if cfg.pose_from_views and "images_v" in batch:
+        out["images_v"] = jnp.asarray(batch["images_v"], jnp.float32)
+    if "image_in2" in batch:
+        out["image_in2"] = jnp.asarray(batch["image_in2"], jnp.float32)
     return out

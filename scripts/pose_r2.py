@@ -63,6 +63,13 @@ p.add_argument("--consistency-weight", type=float, default=0.0,
                     "(gauge-lottery mechanism e: two views of one model "
                     "must decode to the same canonical cloud, which "
                     "punishes per-input mirror gauges directly)")
+p.add_argument("--pose-from-views", action="store_true",
+               help="predict each target view's pose from that view's "
+                    "own image (gauge-lottery mechanism f = the "
+                    "reference's shape-and-pose-from-different-views "
+                    "protocol): the shape's and poses' mirror bits come "
+                    "from different images, so per-image gauge coin "
+                    "flips raise the loss on random view pairings")
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -125,6 +132,7 @@ cfg = Config(
     pose_softmin_temp=args.softmin_temp,
     pose_softmin_steps=args.softmin_steps,
     pose_consistency_weight=args.consistency_weight,
+    pose_from_views=args.pose_from_views,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

@@ -712,3 +712,118 @@ def test_cross_view_consistency_penalizes_mirrored_decodes():
         jnp.asarray(0), jax.random.PRNGKey(1),
     )
     assert "loss_consistency" not in m_off
+
+
+def test_pose_only_matches_full_forward():
+    """model_pc.pose_only (mechanism f) shares the encoder + pose head
+    with the full forward: identical images give identical candidate /
+    student quaternions, without decoding a shape."""
+    cfg = TINY.replace(predict_pose=True, pose_predict_num_candidates=3)
+    model = ModelPointCloud(cfg)
+    img = jax.random.uniform(
+        jax.random.PRNGKey(2), (2, cfg.image_size, cfg.image_size, 3)
+    )
+    params = model.init(jax.random.PRNGKey(0), img)
+    full = model.apply(params, img)
+    pose = model.apply(params, img, method="pose_only")
+    np.testing.assert_allclose(
+        np.asarray(pose["quats"]), np.asarray(full["quats"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose["student_quat"]),
+        np.asarray(full["student_quat"]),
+        rtol=1e-6,
+    )
+    assert "points" not in pose
+
+
+def test_pose_from_views_per_view_selection():
+    """Mechanism (f): with pose_from_views, candidate quats come per
+    TARGET view ([B, V, K, 4] in preds["quats_views"]), q_k(v) is used
+    directly as object->camera_v (no GT rig composition), the hard-min
+    winner is selected per (sample, view), and only each view's winner
+    receives projection gradient. The per-view student distills each
+    view's winner."""
+    from dpcx.render.project import pointcloud_project_fn, sigma_schedule
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=2,
+        pose_student=True,
+        pose_from_views=True,
+    )
+    B, N = 1, 48
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (B, N, 3), minval=-0.3, maxval=0.3
+    )
+    q_a = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    q_b = jnp.asarray([0.70710678, 0.0, 0.70710678, 0.0])  # 90deg azim
+    q_junk = jnp.asarray([0.0, 1.0, 0.0, 0.0])  # upside-down
+    sig = sigma_schedule(cfg, jnp.asarray(10**9))
+    masks = pointcloud_project_fn(
+        cfg, jnp.tile(pts, (2, 1, 1)), jnp.stack([q_a, q_b]), sig
+    ).silhouette[None]  # [1, 2, D, D]: view0 <- q_a, view1 <- q_b
+    batch = dict(_fake_batch(cfg, B=B))
+    batch["masks"] = masks
+    # view 0: candidate 0 correct; view 1: candidate 1 correct
+    quats_views = jnp.asarray(
+        [[[q_a, q_junk], [q_junk, q_b]]]
+    )  # [1, V=2, K=2, 4]
+    student_right = jnp.asarray([[q_a, q_b]])  # [1, V, 4]
+
+    def loss_fn(qv, sv):
+        loss, m = compute_loss(
+            cfg,
+            {
+                "points": pts,
+                "quats_views": qv,
+                "student_quat_views": sv,
+            },
+            batch,
+            jnp.asarray(10**9),  # sigma matches the rendered masks
+            jax.random.PRNGKey(1),
+        )
+        return loss, m
+
+    (loss, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        quats_views, student_right
+    )
+    # winners reproject their own view exactly -> tiny proj loss
+    assert float(m["loss_proj"]) < 1e-6
+    # per-view gradient gating: winner (v, k) pairs get gradient,
+    # losers none
+    g = np.asarray(g)
+    assert np.abs(g[0, 0, 0]).max() > 0.0  # view 0 winner k=0
+    assert np.abs(g[0, 1, 1]).max() > 0.0  # view 1 winner k=1
+    assert np.abs(g[0, 0, 1]).max() == 0.0  # view 0 loser
+    assert np.abs(g[0, 1, 0]).max() == 0.0  # view 1 loser
+    # per-view student: matching each view's winner -> ~0 loss; swapping
+    # the student views -> large loss (q_a vs q_b are 90 deg apart)
+    np.testing.assert_allclose(float(m["loss_student"]), 0.0, atol=1e-6)
+    _, m_sw = loss_fn(quats_views, jnp.asarray([[q_b, q_a]]))
+    assert float(m_sw["loss_student"]) > 0.4
+
+
+def test_pose_from_views_rejects_translation():
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=2,
+        pose_student=False,
+        pose_from_views=True,
+        predict_translation=True,
+    )
+    batch = _fake_batch(cfg, B=1)
+    pts = jnp.zeros((1, 8, 3))
+    preds = {
+        "points": pts,
+        "quats_views": jnp.tile(
+            jnp.asarray([1.0, 0, 0, 0]), (1, 2, 2, 1)
+        ),
+        "translation": jnp.zeros((1, 2, 3)),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="pose_from_views"):
+        compute_loss(
+            cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )

@@ -342,3 +342,56 @@ print("TRAIN_OK")
         if f.endswith(".xplane.pb")
     ]
     assert dumps, "no xplane trace written"
+
+
+def test_pose_from_views_train_scan():
+    """Mechanism (f) through the REAL device-resident scan train path
+    (the path the TPU screening sweep uses): per-view pose heads, the
+    per-(sample, view) hard-min, and the per-view student all train,
+    and the student/proj losses stay finite."""
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=4,
+        batch_size=4,
+        pose_from_views=True,
+        device_data=True,
+        log_every=2,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    _, hist = train(cfg, dataset=ds, max_steps=6, use_checkpoints=False)
+    assert hist, "no logged history"
+    for h in hist:
+        assert np.isfinite(h["loss_total"])
+    assert "loss_student" in hist[-1]
+    assert np.isfinite(hist[-1]["loss_student"])
+
+
+def test_pose_from_views_host_fed_matches_keys():
+    """The host-fed path builds the same pose_from_views batch fields as
+    the device-resident sampler (images_v per target view, image_in2 for
+    the consistency term)."""
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_from_views=True,
+        pose_consistency_weight=0.1,
+        batch_size=4,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    import numpy as _np
+
+    b = ds.batch(_np.random.default_rng(0), 4)
+    V_use = min(cfg.views_per_step, ds.num_views)
+    assert b["images_v"].shape == (
+        4, V_use, cfg.image_size, cfg.image_size, 3
+    )
+    assert b["image_in2"].shape == (
+        4, cfg.image_size, cfg.image_size, 3
+    )
+    # image_in2 is a DIFFERENT view of the same model than image
+    assert not _np.allclose(b["image_in2"], b["image"])
+    from dpcx.train import _prep_batch
+
+    pb = _prep_batch(b, cfg)
+    assert "images_v" in pb and "image_in2" in pb
