@@ -395,3 +395,30 @@ def test_pose_from_views_host_fed_matches_keys():
 
     pb = _prep_batch(b, cfg)
     assert "images_v" in pb and "image_in2" in pb
+
+
+def test_pose_from_views_composes_with_other_mechanisms():
+    """The phase-7 candidate combo — pose_from_views x azimuth anchor x
+    cross-view consistency x K offsets — trains through the device-
+    resident scan (insurance before the TPU combo run burns a window)."""
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=4,
+        batch_size=4,
+        pose_from_views=True,
+        pose_anchor_weight=1.0,
+        pose_anchor_steps=20,
+        pose_anchor_mode="azimuth",
+        pose_consistency_weight=0.1,
+        device_data=True,
+        log_every=2,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    _, hist = train(cfg, dataset=ds, max_steps=6, use_checkpoints=False)
+    for h in hist:
+        assert np.isfinite(h["loss_total"])
+    m = hist[-1]
+    for k in ("loss_anchor", "loss_consistency", "loss_student"):
+        assert k in m and np.isfinite(m[k]), k
