@@ -71,10 +71,25 @@ def _tiling(num_points: int, vox: int) -> tuple[int, int]:
     return g, c
 
 
+def _x_hi(vox: int, counts_ref):
+    """Upper bound for the per-cell x loop of both kernels. D <= 32:
+    the static Python int — Mosaic unrolls the loop, which is the
+    measured-fastest form at these sizes (round-3c: D=32 bf16 fwd+bwd
+    4.0 Mpts/s). D > 32: the SAME value, but read from SMEM so the
+    bound is a runtime scalar and Mosaic CANNOT unroll — at D=64 the
+    unrolled backward stack-allocates each iteration's temporaries
+    (e, t1-t3, u at [G*D, C] f32 each, plus the bf16 .astype copies
+    the bf16 acc mode adds) and blows VMEM: round-3c measured 'D=64
+    bf16 fwd+bwd FAILS remote compile (likely VMEM)'. The dynamic
+    bound trades unrolled pipelining for a bounded working set."""
+    return vox if vox <= 32 else counts_ref[1]
+
+
 def _aniso_fwd_kernel(
     zbase_ref,   # [B, n_chunks] int32 (SMEM)
     ntrips_ref,  # [B, n_chunks] int32 (SMEM)
-    counts_ref,  # [1] int32: n_chunks as a runtime value (no unrolling)
+    counts_ref,  # [2] int32: (n_chunks, D) as runtime values (no
+                 # unrolling — see _x_hi)
     pk_ref,      # [1, 13, N] z-sorted packed points (rows: mu_z, mu_y,
                  # mu_x, A00, A01, A02, A11, A12, A22, w, r, g, b;
                  # points on LANES)
@@ -156,7 +171,7 @@ def _aniso_fwd_kernel(
 
             z4 = jnp.zeros((G * D, D), jnp.float32)
             slabs = jax.lax.fori_loop(
-                0, D, xloop, (z4,) * CH
+                0, _x_hi(D, counts_ref), xloop, (z4,) * CH
             )
             for kk, s in enumerate(slabs):
                 grid_ref[kk, pl.ds(z0, G)] += s.reshape(G, D, D)
@@ -172,7 +187,7 @@ def _aniso_fwd_kernel(
 def _aniso_bwd_kernel(
     zbase_ref,   # [B, n_chunks] int32 (SMEM)
     ntrips_ref,  # [B, n_chunks] int32 (SMEM)
-    counts_ref,  # [1] int32
+    counts_ref,  # [2] int32: (n_chunks, D)
     pk_ref,      # [1, 13, N] z-sorted packed points
     ct_ref,      # [1, CH, D + G, D, D] cotangents of (dens[, cols]),
                  # zero-padded G slabs at the top
@@ -296,7 +311,7 @@ def _aniso_bwd_kernel(
                 v3 = v3 + red(t3)
                 return acc0, acc1, acc2, v1, v2, v3
 
-            return jax.lax.fori_loop(0, D, xloop, carry)
+            return jax.lax.fori_loop(0, _x_hi(D, counts_ref), xloop, carry)
 
         n_carry = 6 if with_rgb else 3
         carry_out = jax.lax.fori_loop(
@@ -436,7 +451,7 @@ def _fwd_call(pk_s, zb, nt, vox, G, C, acc_dtype, interpret, with_rgb):
         scratch_shapes=[pltpu.VMEM((CH, D + G, D, D), jnp.float32)],
     )
     args = jax.lax.optimization_barrier(
-        (zb, nt, jnp.asarray([N // C], jnp.int32), pk_s)
+        (zb, nt, jnp.asarray([N // C, D], jnp.int32), pk_s)
     )
     out = pl.pallas_call(
         kernel,
@@ -484,7 +499,7 @@ def _bwd_call(pk_s, ct_pad, zb, nt, vox, G, C, acc_dtype, interpret,
         ),
     )
     args = jax.lax.optimization_barrier(
-        (zb, nt, jnp.asarray([N // C], jnp.int32), pk_s, ct_pad)
+        (zb, nt, jnp.asarray([N // C, D], jnp.int32), pk_s, ct_pad)
     )
     return pl.pallas_call(
         kernel,

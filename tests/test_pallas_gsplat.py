@@ -252,3 +252,51 @@ def test_bf16_acc_mode_close_to_f32():
     )
     ref = float(jnp.max(jnp.abs(d32))) + 1e-12
     assert float(jnp.max(jnp.abs(d16 - d32))) / ref < 2e-2
+
+
+def test_d_above_32_dynamic_x_bound_matches_dense():
+    """D > 32 routes the per-cell x loop through the SMEM-scalar bound
+    (pallas_gsplat._x_hi) so Mosaic cannot unroll it — the compile fix
+    for the round-3c 'D=64 bf16 fwd+bwd FAILS remote compile' cliff.
+    Interpret-mode parity (values + grads) at D=40 pins that the dynamic
+    bound computes exactly what the static bound does."""
+    Dbig, n = 40, 128
+    pts, scales, rot, opac, rgb = _inputs(6)
+    pts, scales = pts[:1, :n], scales[:1, :n]
+    rot, opac, rgb = rot[:1, :n], opac[:1, :n], rgb[:1, :n]
+
+    d_ref, c_ref = anisotropic_density_grid(
+        pts, scales, rot, Dbig, point_weights=opac, rgb=rgb
+    )
+    d_p, c_p = anisotropic_density_grid_pallas(
+        pts, scales, rot, Dbig, point_weights=opac, rgb=rgb,
+        truncate=100.0, interpret=True,
+    )
+    np.testing.assert_allclose(d_p, d_ref, rtol=2e-5, atol=2e-5)
+
+    tgt_d = jax.random.uniform(
+        jax.random.PRNGKey(12), (1, Dbig, Dbig, Dbig)
+    )
+
+    def loss(fn, p, s, o, r):
+        dens, cols = fn(p, s, rot, Dbig, point_weights=o, rgb=r)
+        return jnp.mean((dens - tgt_d) ** 2) + jnp.mean(cols**2)
+
+    g_p = jax.grad(
+        lambda *a: loss(
+            lambda *b, **k: anisotropic_density_grid_pallas(
+                *b, truncate=100.0, interpret=True, **k
+            ),
+            *a,
+        ),
+        argnums=(0, 1, 2, 3),
+    )(pts, scales, opac, rgb)
+    g_r = jax.grad(
+        lambda *a: loss(anisotropic_density_grid, *a),
+        argnums=(0, 1, 2, 3),
+    )(pts, scales, opac, rgb)
+    for a, b, name in zip(g_p, g_r, ("points", "scales", "opac", "rgb")):
+        rel = float(jnp.linalg.norm(a - b)) / (
+            float(jnp.linalg.norm(b)) + 1e-12
+        )
+        assert rel < 5e-4, f"{name}: rel grad err {rel}"
