@@ -153,7 +153,9 @@ def pallas_fb(d, acc="float32"):
 
 
 if PART2:
-    for d in (32, 64):
+    # --d64: only the D=64 shapes (post-fix re-measurement of the
+    # round-3c compile cliff without re-paying the D=32 compiles)
+    for d in ((64,) if "--d64" in sys.argv else (32, 64)):
         for acc in ("float32", "bfloat16"):
             run(f"pallas_fwd_d{d}_{acc}", pallas_fwd(d, acc),
                 (pts, scales, opac, rot, rgb), iters=60)
