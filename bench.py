@@ -80,20 +80,24 @@ def measure_bwd(cfg, pts, quat, sigma, iters):
     )
 
 
-def measure_gsplat(iters=60, impl="windowed"):
+def measure_gsplat(iters=60, impl="windowed", vox=32, acc="float32"):
     """BASELINE config 5 renderer: anisotropic RGB alpha-splats at the
     rgb_splats.yaml shapes (B=8 render batch, N=4096, D=32), fwd+bwd
     through points/scales/opacity (the training cost). Mpts/s.
 
     impl="windowed" is the round-3a number kept for comparability;
-    impl="pallas" is the native kernel (dpcx/render/pallas_gsplat.py)."""
+    impl="pallas" is the native kernel (dpcx/render/pallas_gsplat.py);
+    acc="float32" keeps the established keys round-over-round
+    comparable. vox=64/acc="bfloat16" covers the round-5 extension
+    (SMEM-scalar x-loop bound — previously the D=64 bf16 backward
+    failed to compile; artifacts/gsplat_d64_r5.json)."""
     from dpcx.render.gsplat import gsplat_project
     from dpcx.utils.timing import bench_scan
 
     cfg = Config(
-        vox_size=32, pc_num_points=4096, pc_rgb=True, pc_gauss=True,
+        vox_size=vox, pc_num_points=4096, pc_rgb=True, pc_gauss=True,
         gauss_scale_min=0.005, gauss_scale_max=0.06,
-        gsplat_impl=impl,
+        gsplat_impl=impl, pallas_acc_dtype=acc,
     )
     B, N = 8, 4096
     key = jax.random.PRNGKey(5)
@@ -121,6 +125,84 @@ def measure_gsplat(iters=60, impl="windowed"):
         iters=iters,
     )
     return B * N / sec / 1e6
+
+
+# TPU v5e public per-chip peaks (jax-ml.github.io/scaling-book): 197
+# bf16 TFLOP/s on the MXU, 819 GB/s HBM bandwidth.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+# measured kernel share of the full headline call at B=48/N=16384/D=64
+# bf16 (scripts/time_shell_b48.py, NOTES.md round-4 session B: kernel
+# 1492.7 us of 2326.9 us total; the rest is the scan floor + XLA
+# transform/sort/metadata pre-pass)
+KERNEL_SHARE_B48 = 0.641
+
+
+def roofline(cfg, pts, quat, mpts):
+    """Absolute-yardstick statement for the headline number (VERDICT r4
+    item 6): how close is the fused kernel to v5e peak?
+
+    MXU flops are counted from the kernel's actual matmul shapes
+    (pallas_kernel.py): splat = one [G*D, C] x [C, D] contraction per
+    window trip with the trip counts taken from _window_metadata on the
+    REAL bench inputs (trips are data-dependent: sorted chunks only
+    cover their z-span); blur = per Gb-slab group, kron(I,K^T) @ X @ K
+    (y+x) and kron(K^T,I) @ X (z). The DRC stage is VPU work (~6 D^3
+    flops) and is excluded from MXU utilization. HBM bytes are the
+    pallas call's operands + outputs — the D^3 grid lives in VMEM and
+    never round-trips HBM, which is the kernel's entire design point,
+    so the kernel is far on the compute side of the roofline.
+    """
+    from dpcx.render.pallas_kernel import _pack_params, _window_metadata
+    from dpcx.render.transform import pc_perspective_transform
+
+    B, N, _ = pts.shape
+    D = cfg.vox_size
+    G, C, S, Gb = _pack_params(B, N, D)
+    ndc = pc_perspective_transform(
+        pts, quat,
+        focal_length=cfg.focal_length,
+        camera_distance=cfg.camera_distance,
+    )
+    gz = jnp.sort((ndc[..., 2] + 0.5) * D - 0.5, axis=-1)
+    _, nt = _window_metadata(gz, D, G, C)
+    trips = float(nt.sum())
+    splat_flops = trips * 2.0 * (G * D) * D * C
+    blur_flops = (
+        B
+        * (D // Gb)
+        * (
+            2 * (Gb * D) ** 2 * D  # kron(I, K^T) @ X   (blur y)
+            + 2 * (Gb * D) * D * D  # t @ K             (blur x)
+            + 2 * (Gb * D) ** 2 * D  # kron(K^T, I) @ X (blur z)
+        )
+    )
+    mxu_flops = splat_flops + blur_flops
+    hbm_bytes = (
+        B * (N * 4 * 4 + 2 * D * D * 4)  # [B,4,N] f32 in, 2x[B,D,D] out
+        + 2 * (Gb * D) ** 2 * 4 + D * D * 4  # kron pair + kmat
+    )
+    t_call = B * N / (mpts * 1e6)  # seconds, from the headline Mpts/s
+    achieved_tflops = mxu_flops / t_call / 1e12
+    t_compute = mxu_flops / (V5E_PEAK_BF16_TFLOPS * 1e12)
+    t_memory = hbm_bytes / (V5E_PEAK_HBM_GBPS * 1e9)
+    return {
+        "mxu_gflops_per_call": round(mxu_flops / 1e9, 2),
+        "splat_trips": int(trips),
+        "hbm_mb_per_call": round(hbm_bytes / 1e6, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        # whole-call MXU utilization (includes the measured 36% shell)
+        "mfu_call_pct": round(100 * achieved_tflops
+                              / V5E_PEAK_BF16_TFLOPS, 2),
+        # kernel-only utilization via the measured shell decomposition
+        "mfu_kernel_pct": round(
+            100 * achieved_tflops / V5E_PEAK_BF16_TFLOPS
+            / KERNEL_SHARE_B48, 2,
+        ),
+        # which side of the roofline the kernel sits on
+        "bound": "compute" if t_compute > t_memory else "memory",
+        "roofline_pct": round(100 * max(t_compute, t_memory) / t_call, 2),
+    }
 
 
 HEALTH_FILE = "bench_health.json"
@@ -239,6 +321,10 @@ def main() -> None:
             rec[key + "_error"] = str(e)[:200]
 
     if on_tpu:
+        try:
+            rec["roofline"] = roofline(cfg("bfloat16"), pts, quat, mpts)
+        except Exception as e:  # noqa: BLE001
+            rec["roofline_error"] = str(e)[:200]
         rec.update(health_probe())
         extra(
             "fp32_value",
@@ -282,6 +368,15 @@ def main() -> None:
         extra(
             "gsplat_pallas_fwdbwd_value",
             lambda: measure_gsplat(impl="pallas"),
+        )
+        # round-5 D=64 extension of the gsplat kernel (bf16 backward
+        # compiles since the SMEM-scalar x-loop bound; dense fwd+bwd at
+        # D=64 extrapolates to ~0.065 from its 16x D=32 fwd->fb ratio)
+        extra(
+            "gsplat_pallas_d64_fwdbwd_value",
+            lambda: measure_gsplat(
+                iters=12, impl="pallas", vox=64, acc="bfloat16"
+            ),
         )
         rec["parity"] = {
             mode: parity(cfg(mode), pts, quat, sigma)

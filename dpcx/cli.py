@@ -21,7 +21,8 @@ import sys
 def _load_cfg(args) -> "Config":
     from dpcx.config import load_config
 
-    return load_config(args.config) if args.config else load_config()
+    cfg = load_config(args.config) if args.config else load_config()
+    return cfg.validate()
 
 
 def cmd_train(args) -> None:
@@ -59,10 +60,14 @@ def cmd_eval(args) -> None:
         from dpcx.predict import evaluate_category_slices
 
         metrics = evaluate_category_slices(
-            cfg, state.params, ds, view_idx=view_idx
+            cfg, state.params, ds, view_idx=view_idx,
+            flip_resolve=args.flip_resolve,
         )
     else:
-        metrics = evaluate(cfg, state.params, ds, view_idx=view_idx)
+        metrics = evaluate(
+            cfg, state.params, ds, view_idx=view_idx,
+            flip_resolve=args.flip_resolve,
+        )
     print(json.dumps(metrics))
 
 
@@ -176,6 +181,14 @@ def main(argv=None) -> None:
                 "--per-category", action="store_true",
                 help="per-category metric table + mean row (joint "
                 "'multi' models; reference per-ShapeNet-category table)",
+            )
+            sp.add_argument(
+                "--flip-resolve", action="store_true",
+                help="also report pose metrics after the shape-matching "
+                "mirror-flip resolver (predict.resolve_pose_flips); "
+                "diagnostic only — changed-rate 0.0 on held-out inputs "
+                "is the measured outcome (the decoder co-flips with "
+                "the pose, POSE_RESULTS finding 15)",
             )
         if name == "convert":
             sp.add_argument("-i", "--inp", required=True,

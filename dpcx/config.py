@@ -237,6 +237,81 @@ class Config:
     def effective_mask_size(self) -> int:
         return self.vox_size
 
+    def validate(self) -> "Config":
+        """Reject silently-contradictory knob combinations.
+
+        Called by every CLI entry point and by ``train()``; direct
+        ``Config(...)`` construction stays unvalidated so tests and
+        scripts can build partial configs. Each trap below corresponds
+        to a code path that would otherwise IGNORE a knob the user set
+        (the reference's app_config has no such cross-flag checks — its
+        flags are consumed unconditionally — so this is a new surface).
+        """
+        errs: list[str] = []
+        enums = {
+            "renderer": ("xla", "pallas"),
+            "gsplat_impl": ("dense", "pallas", "windowed"),
+            "proj_type": ("drc", "sum"),
+            "xla_splat": ("scatter", "matmul", "auto"),
+            "pose_anchor_mode": ("full", "azimuth"),
+            "texture_mode": ("stripes", "lowfreq"),
+            "pallas_acc_dtype": ("float32", "bfloat16"),
+            "compute_dtype": ("float32", "bfloat16"),
+            "renderer_dtype": ("float32", "bfloat16"),
+            "dataset": ("synthetic", "npz"),
+        }
+        for knob, allowed in enums.items():
+            if getattr(self, knob) not in allowed:
+                errs.append(
+                    f"{knob}={getattr(self, knob)!r} not in {allowed}"
+                )
+        if self.shard_points and self.predict_pose:
+            errs.append(
+                "shard_points is only implemented for the GT-pose loss "
+                "branch (models/losses.py routes the predicted-pose "
+                "render unsharded, silently ignoring the knob)"
+            )
+        if self.shard_points and self.pc_gauss:
+            errs.append(
+                "shard_points is ignored when pc_gauss is set: the "
+                "gsplat branch renders unsharded"
+            )
+        if not self.predict_pose:
+            for knob in ("pose_from_views", "predict_translation"):
+                if getattr(self, knob):
+                    errs.append(
+                        f"{knob} requires predict_pose: the pose head "
+                        "is only built in predicted-pose mode"
+                    )
+            for knob in (
+                "pose_anchor_weight",
+                "pose_softmin_temp",
+                "pose_consistency_weight",
+            ):
+                if getattr(self, knob) > 0:
+                    errs.append(f"{knob} > 0 requires predict_pose")
+        if self.pose_consistency_weight > 0 and self.num_views < 2:
+            errs.append(
+                "pose_consistency_weight needs num_views >= 2 (a "
+                "second view of each model to decode)"
+            )
+        if errs:
+            raise ValueError(
+                "invalid config:\n  - " + "\n  - ".join(errs)
+            )
+        if self.shard_points:
+            import jax  # deferred: config.py must stay importable sans jax init
+
+            if len(jax.devices()) == 1:
+                import warnings
+
+                warnings.warn(
+                    "shard_points on a single device is a no-op (the "
+                    "point axis has nothing to shard over)",
+                    stacklevel=2,
+                )
+        return self
+
 
 _TUPLE_FIELDS = {
     f.name

@@ -147,6 +147,7 @@ def evaluate_category_slices(
     dataset: Dataset,
     batch_size: int = 16,
     view_idx: int | None = 0,
+    flip_resolve: bool = False,
 ) -> dict[str, dict[str, float]]:
     """Per-category breakdown of ONE jointly-trained model on a "multi"
     dataset (BASELINE config 4): slice the records by ``category_idx``,
@@ -176,6 +177,7 @@ def evaluate_category_slices(
         table[CATEGORIES[ci]] = evaluate(
             cfg, params, sub,
             batch_size=min(batch_size, len(sel)), view_idx=view_idx,
+            flip_resolve=flip_resolve,
         )
     keys = next(iter(table.values())).keys()
     table["mean"] = {

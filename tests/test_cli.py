@@ -194,3 +194,49 @@ def test_serving_full_output_surface(tiny_yaml):
     assert out["gauss_rot"].shape == (2, N, 4)
     assert out["gauss_opacity"].shape == (2, N)
     assert all(np.isfinite(v).all() for v in out.values())
+
+
+def test_eval_flip_resolve_flag(tmp_path, capsys):
+    """`dpcx eval --flip-resolve` reaches evaluate(flip_resolve=True) and
+    reports the resolver metrics (VERDICT r4 weak 5: the resolver used to
+    be reachable only from scripts/)."""
+    p = tmp_path / "pose.yaml"
+    p.write_text(
+        "\n".join(
+            [
+                "name: tinypose",
+                f"checkpoint_dir: {tmp_path}/run",
+                f"data_dir: {tmp_path}/data",
+                "vox_size: 8",
+                "mask_size: 8",
+                "pc_num_points: 32",
+                "image_size: 16",
+                "encoder_filters: [4]",
+                "latent_dim: 16",
+                "fc_hidden: 16",
+                "pc_decoder_hidden: [16]",
+                "num_views: 2",
+                "views_per_step: 2",
+                "batch_size: 2",
+                "pc_point_dropout: 1.0",
+                "predict_pose: true",
+                "pose_predict_num_candidates: 2",
+                "save_every: 1000000",
+                "log_every: 1",
+            ]
+        )
+    )
+    cli.main(["train", "-f", str(p), "-n", "2", "--steps", "2"])
+    capsys.readouterr()
+    cli.main(["eval", "-f", str(p), "-n", "2", "--flip-resolve"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "pose_acc_30deg_flip_resolved" in out
+    assert "flip_resolve_changed" in out
+
+
+def test_cli_rejects_invalid_config(tmp_path):
+    """Every CLI entry validates the config before doing work."""
+    p = tmp_path / "bad.yaml"
+    p.write_text("shard_points: true\npredict_pose: true\n")
+    with pytest.raises(ValueError, match="shard_points"):
+        cli.main(["datagen", "-f", str(p), "-n", "1"])

@@ -243,24 +243,26 @@ def test_gsplat_train_step_learns():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.95, losses
 
 
-def test_gsplat_pallas_rejects_large_grid():
-    """gsplat_impl='pallas' + vox_size>32 fails fast at trace time with a
-    clear message (VERDICT r3 missing 3): the per-point-window kernel is
-    measured slower than dense at D>=64 and its bf16 backward does not
-    compile — previously this burned a multi-minute remote compile and
-    died with a Mosaic error."""
+def test_gsplat_pallas_dispatch_range():
+    """gsplat_impl='pallas' dispatches up to D=64 (round 5: the
+    SMEM-scalar x-loop bound fixed the D=64 bf16 backward compile cliff
+    and the kernel is measured FASTER than dense on both paths there —
+    artifacts/gsplat_d64_r5.json) and fails fast at trace time beyond
+    (the whole-grid VMEM scratch does not fit at D=128; previously this
+    burned a multi-minute remote compile and died with a Mosaic error)."""
     import pytest
 
-    cfg = Config(vox_size=64, pc_gauss=True, gsplat_impl="pallas")
+    cfg = Config(vox_size=128, pc_gauss=True, gsplat_impl="pallas")
     B, N = 1, 8
     pts = _pts(jax.random.PRNGKey(0), b=B, n=N)
     scales = jnp.full((B, N, 3), 0.02)
     rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, N, 1))
     quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
-    with pytest.raises(ValueError, match="vox_size<=32"):
+    with pytest.raises(ValueError, match="vox_size<=64"):
         gsplat_project(cfg, pts, quat, scales, rot)
-    # D=32 still dispatches to the kernel (interpret mode off-TPU)
-    ok = gsplat_project(
-        cfg.replace(vox_size=32), pts, quat, scales, rot
-    )
-    assert ok.silhouette.shape == (B, 32, 32)
+    # D=32 and D=64 both dispatch to the kernel (interpret mode off-TPU)
+    for d in (32, 64):
+        ok = gsplat_project(
+            cfg.replace(vox_size=d), pts, quat, scales, rot
+        )
+        assert ok.silhouette.shape == (B, d, d)

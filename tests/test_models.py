@@ -804,26 +804,81 @@ def test_pose_from_views_per_view_selection():
     assert float(m_sw["loss_student"]) > 0.4
 
 
-def test_pose_from_views_rejects_translation():
+def test_pose_from_views_with_translation():
+    """pose_from_views x predict_translation (round 5, VERDICT r4
+    missing 4): each target view's camera-frame offset comes from that
+    view's own pose head. Per-(view, candidate) translations are
+    consumed (different offsets change per-candidate losses), gradients
+    flow to them, and the legacy input-view 'translation' alone (no
+    per-view field) raises instead of being silently broadcast."""
+    import pytest
+
     cfg = TINY.replace(
         predict_pose=True,
         pose_predict_num_candidates=2,
         pose_student=False,
         pose_from_views=True,
         predict_translation=True,
+        translation_weight=0.01,
     )
     batch = _fake_batch(cfg, B=1)
-    pts = jnp.zeros((1, 8, 3))
-    preds = {
-        "points": pts,
-        "quats_views": jnp.tile(
-            jnp.asarray([1.0, 0, 0, 0]), (1, 2, 2, 1)
-        ),
-        "translation": jnp.zeros((1, 2, 3)),
-    }
-    import pytest
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (1, 8, 3), minval=-0.3, maxval=0.3
+    )
+    quats_views = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (1, 2, 2, 1))
 
-    with pytest.raises(ValueError, match="pose_from_views"):
-        compute_loss(
+    def loss_of(tv):
+        preds = {
+            "points": pts,
+            "quats_views": quats_views,
+            "translation": jnp.zeros((1, 2, 3)),
+            "translations_views": tv,
+        }
+        total, m = compute_loss(
             cfg, preds, batch, jnp.asarray(0), jax.random.PRNGKey(1)
         )
+        return total, m
+
+    tv0 = jnp.zeros((1, 2, 2, 3))
+    tv1 = tv0.at[:, :, 1, 0].set(0.3)  # candidate 1 shifted in x
+    t0, m0 = loss_of(tv0)
+    t1, m1 = loss_of(tv1)
+    # the shifted candidate renders a different silhouette somewhere
+    assert not np.allclose(
+        np.asarray(m0["loss_proj"]), np.asarray(m1["loss_proj"])
+    ) or float(t0) != float(t1)
+    # gradients flow into the per-view translations
+    g = jax.grad(lambda tv: loss_of(tv)[0])(tv1)
+    assert np.abs(np.asarray(g)).max() > 0.0
+    # missing per-view field -> explicit error, not a silent broadcast
+    preds_bad = {
+        "points": pts,
+        "quats_views": quats_views,
+        "translation": jnp.zeros((1, 2, 3)),
+    }
+    with pytest.raises(ValueError, match="translations_views"):
+        compute_loss(
+            cfg, preds_bad, batch, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+
+
+def test_pose_from_views_translation_e2e():
+    """apply_model wires pose_only's per-view translations through, and
+    a short train run with pfv x predict_translation stays finite."""
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=2,
+        pose_from_views=True,
+        predict_translation=True,
+        translation_weight=0.01,
+        batch_size=4,
+        device_data=True,
+        log_every=2,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=64), cfg)
+    _, hist = train(cfg, dataset=ds, max_steps=4, use_checkpoints=False)
+    assert hist and np.isfinite(hist[-1]["loss_total"])
