@@ -63,6 +63,10 @@ p.add_argument("--consistency-weight", type=float, default=0.0,
                     "(gauge-lottery mechanism e: two views of one model "
                     "must decode to the same canonical cloud, which "
                     "punishes per-input mirror gauges directly)")
+p.add_argument("--predict-translation", action="store_true",
+               help="per-candidate camera-frame offsets; with "
+                    "--pose-from-views each target view's offset comes "
+                    "from its own pose head (round-5 pfv x translation)")
 p.add_argument("--pose-from-views", action="store_true",
                help="predict each target view's pose from that view's "
                     "own image (gauge-lottery mechanism f = the "
@@ -133,6 +137,7 @@ cfg = Config(
     pose_softmin_steps=args.softmin_steps,
     pose_consistency_weight=args.consistency_weight,
     pose_from_views=args.pose_from_views,
+    predict_translation=args.predict_translation,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
     rgb_warmup_steps=args.rgb_warmup,

@@ -29,6 +29,12 @@ run () {  # run <tag> <category> <seed> [extra args...]
 
 run r5_pfv_car_s2 car 2
 
+# round-5 pfv x predict_translation on TPU: the mode intersection closed
+# this round (VERDICT r4 missing 4) is CPU-unit/e2e-tested; this run
+# demonstrates it trains to quality on hardware on a known-good seed
+# (airplane s0 plain-pfv: 0.994) so no round-5 code ships hardware-untested.
+run r5_pfvt_airplane_s0 airplane 0 --predict-translation
+
 sleep 60
 timeout 3600 python bench.py > /tmp/r5_bench.log 2>&1
 echo "DONE bench rc=$?"
