@@ -267,6 +267,7 @@ def evaluate(
     view_idx: int | None = 0,
     batch_size: int = 16,
     flip_resolve: bool = False,
+    per_sample: bool = False,
 ) -> dict[str, float]:
     """Chamfer (+ pose) eval over a dataset (ref: predict_eval protocol).
 
@@ -274,6 +275,17 @@ def evaluate(
     predictions before computing metrics — the reference's
     predict_eval.py evaluates each test view, not just the first
     (SURVEY.md §3.2); a single-view eval is a weaker statistic.
+
+    ``per_sample=True`` attaches a ``"per_sample"`` dict of plain lists
+    (failure-mode forensics, POSE_RESULTS finding 20): post-alignment
+    angular error per sample, the object-side residual rotation
+    axis/angle (r = conj(aligned) * gt, the r with aligned∘r = gt under
+    the same right-composition convention as the flip diagnostics — a
+    mirror-gauge sample shows r ≈ 180° about the vertical axis, an
+    azimuth-sector lock shows a vertical axis at other angles, an
+    elevation/tumble lock a non-vertical axis), per-sample Chamfer, and
+    the source view index. Sample i of view v sits at index v*M + i
+    when ``view_idx is None``.
     """
     if view_idx is None:
         all_pred, all_gtq, all_gt = [], [], []
@@ -296,6 +308,7 @@ def evaluate(
         )
     pred_pts = jnp.asarray(preds["points"], jnp.float32)
     metrics: dict[str, float] = {}
+    ps: dict[str, list] = {}
     if "pose" in preds:
         gt_quats = gt_quats_all
         pred_quats = jnp.asarray(preds["pose"], jnp.float32)
@@ -335,6 +348,39 @@ def evaluate(
         metrics["pose_flip_rate"] = float(
             jnp.mean((e1 < e0).astype(jnp.float32))
         )
+        if per_sample:
+            # object-side residual: the r with aligned ∘ r = gt (flips
+            # compose on the right, so this is the frame the FLIP_QUAT
+            # diagnostics live in). Axis from the vector part; angle
+            # equals the angular error by construction.
+            from dpcx.geometry.quaternion import quaternion_conjugate
+
+            q_res = quaternion_multiply(
+                quaternion_conjugate(aligned), gt_quats
+            )
+            # hemisphere-fix so axes are comparable across samples
+            q_res = jnp.where(q_res[:, :1] < 0, -q_res, q_res)
+            vec = q_res[:, 1:]
+            norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+            axis = vec / jnp.maximum(norm, 1e-12)
+            ps["err_deg"] = np.asarray(e0).round(2).tolist()
+            ps["err_deg_flip"] = (
+                np.minimum(np.asarray(e0), np.asarray(e1))
+                .round(2)
+                .tolist()
+            )
+            ps["res_axis"] = np.asarray(axis).round(4).tolist()
+            ps["res_angle_deg"] = (
+                np.degrees(
+                    2.0
+                    * np.arctan2(
+                        np.asarray(norm[:, 0]),
+                        np.asarray(q_res[:, 0]),
+                    )
+                )
+                .round(2)
+                .tolist()
+            )
         if flip_resolve:
             # unsupervised test-time mirror disambiguation against each
             # sample's OWN input-view mask (see resolve_pose_flips)
@@ -389,4 +435,19 @@ def evaluate(
     from dpcx.eval.iou import voxel_iou
 
     metrics["iou_3d_16"] = float(jnp.mean(voxel_iou(pred_pts, gt, 16)))
+    if per_sample:
+        ps["chamfer"] = (
+            np.asarray(cd["chamfer"]).astype(float).round(6).tolist()
+        )
+        if "view" not in ps:
+            ps["view"] = (
+                [
+                    v
+                    for v in range(dataset.num_views)
+                    for _ in range(dataset.num_models)
+                ]
+                if view_idx is None
+                else [view_idx] * int(pred_pts.shape[0])
+            )
+        metrics["per_sample"] = ps  # type: ignore[assignment]
     return metrics

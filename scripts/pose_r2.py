@@ -165,7 +165,7 @@ print(
     flush=True,
 )
 final_ev = evaluate(cfg, state.params, ev, view_idx=None, batch_size=16,
-                    flip_resolve=True)
+                    flip_resolve=True, per_sample=True)
 final_tr = evaluate(
     cfg,
     state.params,
@@ -183,5 +183,9 @@ Path("artifacts").mkdir(exist_ok=True)
 Path(f"artifacts/pose_r2_{args.tag}.json").write_text(
     json.dumps(out, indent=1)
 )
-print("heldout:", json.dumps(final_ev), flush=True)
+print(
+    "heldout:",
+    json.dumps({k: v for k, v in final_ev.items() if k != "per_sample"}),
+    flush=True,
+)
 print("train:", json.dumps(final_tr), flush=True)

@@ -475,6 +475,44 @@ def test_evaluate_reports_flip_metrics():
     assert m["pose_acc_30deg_up_to_flip"] >= m["pose_acc_30deg"] - 1e-6
 
 
+def test_evaluate_per_sample_forensics():
+    """evaluate(per_sample=True) attaches per-sample errors, residual
+    axis/angle, chamfer, and view indices, all length-consistent with
+    the pooled all-view eval, and the residual angle equals the
+    angular error (r = conj(aligned)*gt by construction)."""
+    from dpcx.data.dataset import Dataset
+    from dpcx.data.synthetic import make_dataset
+    from dpcx.predict import evaluate
+    from dpcx.train import create_state
+
+    cfg = Config(
+        vox_size=12, mask_size=12, pc_num_points=64, image_size=32,
+        encoder_filters=(8,), latent_dim=32, fc_hidden=32,
+        pc_decoder_hidden=(32,), num_views=2,
+        predict_pose=True, pose_predict_num_candidates=2,
+    )
+    ds = Dataset(make_dataset(cfg, 2, seed=0, gt_points=128), cfg)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    m = evaluate(cfg, st.params, ds, view_idx=None, batch_size=2,
+                 per_sample=True)
+    ps = m["per_sample"]
+    n = 2 * 2  # models x views, pooled view-major
+    assert len(ps["err_deg"]) == n and len(ps["chamfer"]) == n
+    assert len(ps["res_axis"]) == n and len(ps["res_axis"][0]) == 3
+    assert ps["view"] == [0, 0, 1, 1]
+    np.testing.assert_allclose(
+        ps["res_angle_deg"], ps["err_deg"], atol=0.05
+    )
+    axes = np.asarray(ps["res_axis"])
+    np.testing.assert_allclose(
+        np.linalg.norm(axes, axis=-1), 1.0, atol=1e-3
+    )
+    # plain eval (per_sample omitted) must not carry the block
+    assert "per_sample" not in evaluate(
+        cfg, st.params, ds, batch_size=2
+    )
+
+
 def test_pose_rgb_loss_runs_and_grads():
     """predicted-pose + pc_rgb: color is rendered for EVERY candidate,
     enters the hard-min selection, and contributes a finite loss and
