@@ -19,7 +19,8 @@ print('probe ok', float(x.sum()), jax.devices())
 done
 
 if grep -q "probe ok" /tmp/r5_watchdog_probe.log; then
-  bash "$QUEUE" > /tmp/r5a_queue.log 2>&1
+  QLOG="/tmp/$(basename "$QUEUE" .sh)_wd.log"
+  bash "$QUEUE" > "$QLOG" 2>&1
   echo "WATCHDOG_QUEUE_DONE rc=$?"
 else
   echo "WATCHDOG_GAVE_UP"
