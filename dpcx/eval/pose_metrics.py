@@ -15,9 +15,43 @@ import jax.numpy as jnp
 
 from dpcx.geometry.quaternion import (
     quaternion_angular_distance,
+    quaternion_conjugate,
     quaternion_multiply,
     quaternion_normalize,
 )
+
+
+def gauge_spread_deg(
+    pred_quats: jax.Array, cam_quats: jax.Array
+) -> jax.Array:
+    """Per-model cross-view gauge-coherence dispersion, in degrees.
+
+    ``pred_quats``/``cam_quats`` are ``[V, M, 4]``: the predicted
+    object→camera quaternion and the KNOWN camera-rig quaternion for
+    view v of model m. A gauge-coherent predictor satisfies
+    ``pred[v, m] = cam[v, m] ∘ g[m]`` for some per-model object-side
+    gauge g (the unsupervised canonical-frame freedom), so the residual
+    ``r[v, m] = conj(cam[v, m]) ∘ pred[v, m]`` is constant over v; any
+    fixed g — and any global canonical alignment, which also composes on
+    the right (see ``align_canonical_frame``) — drops out of the
+    cross-view dispersion. The statistic therefore needs NO object-pose
+    annotation, only the camera rig the training loss already consumes,
+    and deploys as a frame-lock / gauge-failure detector (POSE_RESULTS
+    finding 21: healthy runs <~15 deg, the chair-s3 gauge failure ~58).
+
+    Returns the ``[M]`` mean angular distance of each model's residuals
+    to their chordal-mean quaternion.
+    """
+    r = quaternion_multiply(quaternion_conjugate(cam_quats), pred_quats)
+    # sign-coherence per model: q and -q are one rotation
+    sign = jnp.where(
+        jnp.sum(r * r[:1], axis=-1, keepdims=True) < 0, -1.0, 1.0
+    )
+    r = r * sign
+    m = quaternion_normalize(jnp.mean(r, axis=0))
+    return jnp.degrees(
+        quaternion_angular_distance(r, m[None]).mean(axis=0)
+    )
 
 
 def pose_error_metrics(

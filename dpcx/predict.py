@@ -285,7 +285,11 @@ def evaluate(
     azimuth-sector lock shows a vertical axis at other angles, an
     elevation/tumble lock a non-vertical axis), per-sample Chamfer, and
     the source view index. Sample i of view v sits at index v*M + i
-    when ``view_idx is None``.
+    when ``view_idx is None``. Pooled multi-view evals also report
+    ``pose_gauge_spread_deg`` (and a per-MODEL ``gauge_spread_deg``
+    list of length M, unlike the per-sample lists) — the GT-free
+    gauge-coherence detector of POSE_RESULTS finding 21; see
+    ``dpcx.eval.pose_metrics.gauge_spread_deg``.
     """
     if view_idx is None:
         all_pred, all_gtq, all_gt = [], [], []
@@ -348,6 +352,24 @@ def evaluate(
         metrics["pose_flip_rate"] = float(
             jnp.mean((e1 < e0).astype(jnp.float32))
         )
+        if view_idx is None and dataset.num_views > 1:
+            # GT-free gauge-coherence detector (POSE_RESULTS finding 21;
+            # see gauge_spread_deg): per-model cross-view dispersion of
+            # conj(q_cam) ∘ q̂ — constant iff one canonical frame is
+            # held. Uses only the camera rig the training loss already
+            # consumes. Healthy runs <~15 deg; the chair-s3 gauge
+            # failure reads ~58 deg (finding 21's 1.01 rad).
+            from dpcx.eval.pose_metrics import gauge_spread_deg
+
+            V, M = dataset.num_views, dataset.num_models
+            spread = gauge_spread_deg(
+                pred_quats.reshape(V, M, 4), gt_quats.reshape(V, M, 4)
+            )
+            metrics["pose_gauge_spread_deg"] = float(jnp.mean(spread))
+            if per_sample:
+                ps["gauge_spread_deg"] = (
+                    np.asarray(spread).round(2).tolist()
+                )
         if per_sample:
             # object-side residual: the r with aligned ∘ r = gt (flips
             # compose on the right, so this is the frame the FLIP_QUAT

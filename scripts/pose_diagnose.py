@@ -28,6 +28,10 @@ view = np.asarray(ps["view"])
 
 print(f"== {path}  ({len(err)} samples) ==")
 print(f"acc@30 {np.mean(err <= 30):.3f}   median {np.median(err):.1f} deg")
+gs = d["heldout"].get("pose_gauge_spread_deg")
+if gs is not None:
+    print(f"pose_gauge_spread_deg {gs:.1f} (GT-free; healthy <~15, "
+          "gauge failure >~45)")
 
 bins = [0, 15, 30, 60, 90, 120, 150, 181]
 hist = np.histogram(err, bins)[0]

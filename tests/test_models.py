@@ -407,6 +407,43 @@ def test_pose_metrics_up_to_flip():
     assert float(fm["median_err_deg_up_to_flip"]) < 3.0
 
 
+def test_gauge_spread_detects_incoherent_gauge():
+    """gauge_spread_deg ~ 0 when every view of a model shares one
+    object-side gauge (pred = cam ∘ g_m), regardless of per-model gauges
+    or a further global canonical offset; large for per-view gauges."""
+    from dpcx.eval.pose_metrics import gauge_spread_deg
+    from dpcx.geometry.quaternion import (
+        quaternion_multiply,
+        quaternion_normalize,
+    )
+
+    rng = np.random.default_rng(0)
+    V, M = 4, 3
+    cam = quaternion_normalize(
+        jnp.asarray(rng.normal(size=(V, M, 4)), jnp.float32)
+    )
+    g = quaternion_normalize(
+        jnp.asarray(rng.normal(size=(M, 4)), jnp.float32)
+    )
+    coherent = quaternion_multiply(cam, g[None])
+    s = gauge_spread_deg(coherent, cam)
+    np.testing.assert_allclose(np.asarray(s), 0.0, atol=0.1)
+    # global canonical offset composes on the right too -> invariant
+    q_off = quaternion_normalize(jnp.asarray([0.6, 0.3, -0.2, 0.7]))
+    s_off = gauge_spread_deg(
+        quaternion_multiply(coherent, q_off[None, None]), cam
+    )
+    np.testing.assert_allclose(np.asarray(s_off), 0.0, atol=0.1)
+    # per-(view, model) random gauges -> large dispersion
+    incoherent = quaternion_multiply(
+        cam,
+        quaternion_normalize(
+            jnp.asarray(rng.normal(size=(V, M, 4)), jnp.float32)
+        ),
+    )
+    assert float(gauge_spread_deg(incoherent, cam).min()) > 20.0
+
+
 def test_voxel_iou():
     """3D IoU identities: same cloud -> 1; disjoint octants -> 0;
     half-overlapping -> strictly between."""
@@ -473,6 +510,8 @@ def test_evaluate_reports_flip_metrics():
     ):
         assert k in m and np.isfinite(m[k]), k
     assert m["pose_acc_30deg_up_to_flip"] >= m["pose_acc_30deg"] - 1e-6
+    # single-view eval has no cross-view residuals to compare
+    assert "pose_gauge_spread_deg" not in m
 
 
 def test_evaluate_per_sample_forensics():
@@ -498,6 +537,10 @@ def test_evaluate_per_sample_forensics():
     ps = m["per_sample"]
     n = 2 * 2  # models x views, pooled view-major
     assert len(ps["err_deg"]) == n and len(ps["chamfer"]) == n
+    # GT-free gauge-coherence detector: pooled eval carries the scalar
+    # and the per-MODEL spread list (finding 21)
+    assert np.isfinite(m["pose_gauge_spread_deg"])
+    assert len(ps["gauge_spread_deg"]) == 2
     assert len(ps["res_axis"]) == n and len(ps["res_axis"][0]) == 3
     assert ps["view"] == [0, 0, 1, 1]
     np.testing.assert_allclose(
