@@ -455,6 +455,31 @@ def compute_loss(
         metrics["cand_spread"] = jnp.mean(
             comb_k.max(axis=1) - comb_k.min(axis=1)
         )
+        if per_view_pose:
+            # Live gauge-coherence telemetry (POSE_RESULTS finding 21;
+            # metric only — never enters the loss or gradients). In pfv
+            # mode each target view's WINNER quat is object->cam_v from
+            # that view's own image, so the cross-view dispersion of
+            # conj(q_cam) o q_winner per sample is the same GT-free
+            # frame-lock detector evaluate() reports; watching it during
+            # training catches a gauge failure (chair s3: ~58 deg vs
+            # healthy <~15) tens of thousands of steps before eval. In
+            # input-view-pose mode it is 0 by construction (all views
+            # share the input view's frame), hence pfv-only.
+            from dpcx.eval.pose_metrics import gauge_spread_deg
+
+            q_sel = jnp.squeeze(
+                jnp.take_along_axis(
+                    q_full, k_star[:, None, :, None], axis=1
+                ),
+                1,
+            )  # [B, V, 4]
+            metrics["gauge_spread_deg"] = jnp.mean(
+                gauge_spread_deg(
+                    jnp.swapaxes(jax.lax.stop_gradient(q_sel), 0, 1),
+                    jnp.swapaxes(batch["quats"], 0, 1),
+                )
+            )
         if use_rgb:
             if sel_w is not None:
                 rgb_loss = jnp.mean(jnp.sum(sel_w * rgb_l_k, axis=1))

@@ -883,6 +883,15 @@ def test_pose_from_views_per_view_selection():
     np.testing.assert_allclose(float(m["loss_student"]), 0.0, atol=1e-6)
     _, m_sw = loss_fn(quats_views, jnp.asarray([[q_b, q_a]]))
     assert float(m_sw["loss_student"]) > 0.4
+    # live gauge telemetry (finding 21): winners equal to the rig ->
+    # coherent (spread ~0); a rig disagreeing with one view by 90 deg
+    # -> residuals {identity, 90 deg} -> ~45 deg mean dispersion
+    batch["quats"] = jnp.asarray([[q_a, q_b]])
+    _, m_coh = loss_fn(quats_views, student_right)
+    assert float(m_coh["gauge_spread_deg"]) < 0.1
+    batch["quats"] = jnp.asarray([[q_a, q_a]])
+    _, m_inc = loss_fn(quats_views, student_right)
+    assert 30.0 < float(m_inc["gauge_spread_deg"]) < 60.0
 
 
 def test_pose_from_views_with_translation():
