@@ -150,6 +150,22 @@ class Config:
     # computed from different images, so random view pairings punish any
     # per-IMAGE gauge and force a per-OBJECT canonical frame.
     pose_from_views: bool = False
+    # auto-reseed on detected gauge failure (POSE_RESULTS finding 21):
+    # the pose lottery's failure mode — a per-view gauge that never
+    # coheres into one canonical frame — is visible tens of thousands of
+    # steps before the end in the live, GT-free gauge_spread_deg metric
+    # (pfv winner quats vs the camera rig; healthy runs <~15 deg, failed
+    # ~55+). When threshold_deg > 0, train() checks the metric the first
+    # time training crosses check_step; if it exceeds the threshold the
+    # attempt is abandoned: parameters re-initialize from a deterministic
+    # per-attempt key, the dead attempt's checkpoints are deleted, and
+    # the step counter restarts, up to max_retries times. The batch
+    # stream stays a pure function of (seed, step) — only the init
+    # re-rolls — so bit-reproducible resume is preserved. pfv-only (the
+    # metric is 0 by construction in input-view-pose mode).
+    gauge_reseed_threshold_deg: float = 0.0  # 0 disables
+    gauge_reseed_check_step: int = 10_000
+    gauge_reseed_max_retries: int = 3
     predict_translation: bool = False  # per-candidate camera-frame offset
     translation_weight: float = 0.0    # L2 regularizer on the offset
 
@@ -294,6 +310,12 @@ class Config:
             errs.append(
                 "pose_consistency_weight needs num_views >= 2 (a "
                 "second view of each model to decode)"
+            )
+        if self.gauge_reseed_threshold_deg > 0 and not self.pose_from_views:
+            errs.append(
+                "gauge_reseed_threshold_deg requires pose_from_views "
+                "(the live gauge_spread_deg metric is 0 by construction "
+                "in input-view-pose mode, so the detector never fires)"
             )
         if errs:
             raise ValueError(

@@ -574,6 +574,7 @@ def train(
         return every > 0 and cur // every > prev // every
 
     trace_state = "armed" if cfg.profile_dir else "off"
+    reseed_attempt = 0
     with writer:
         step = start_step
         while step < max_steps:
@@ -627,6 +628,52 @@ def train(
                 writer.write(step, metrics)
                 history.append({"step": step, **{
                     k: float(np.asarray(v)) for k, v in metrics.items()}})
+            if (
+                cfg.gauge_reseed_threshold_deg > 0
+                and reseed_attempt < cfg.gauge_reseed_max_retries
+                and prev_step < cfg.gauge_reseed_check_step <= step
+            ):
+                # detector-triggered re-roll of the pose lottery (see
+                # config.gauge_reseed_threshold_deg): abandon an attempt
+                # whose gauge never cohered, re-init from a deterministic
+                # per-attempt key, restart the step counter. The batch
+                # stream stays a pure function of (seed, step).
+                gs = float(
+                    np.asarray(
+                        jax.device_get(metrics).get(
+                            "gauge_spread_deg", 0.0
+                        )
+                    )
+                )
+                if gs > cfg.gauge_reseed_threshold_deg:
+                    reseed_attempt += 1
+                    rec = {
+                        "gauge_reseed": reseed_attempt,
+                        "gauge_spread_deg": gs,
+                    }
+                    writer.write(step, rec)
+                    history.append({"step": step, **rec})
+                    state = create_state(
+                        cfg,
+                        jax.random.PRNGKey(
+                            cfg.seed + 7919 * reseed_attempt
+                        ),
+                    )
+                    if mesh.devices.size > 1:
+                        from dpcx.parallel.mesh import replicated_sharding
+
+                        state = jax.device_put(
+                            state, replicated_sharding(mesh)
+                        )
+                    if mngr is not None:
+                        # the dead attempt's checkpoints would otherwise
+                        # win the max-step restore race on resume
+                        for s in list(mngr.all_steps()):
+                            mngr.delete(s)
+                        mngr.wait_until_finished()
+                    step = start_step = 0
+                    t0 = time.time()
+                    continue
             if mngr is not None and crossed(prev_step, step, cfg.save_every):
                 save_checkpoint(mngr, state)
                 if batch is None:

@@ -74,6 +74,13 @@ p.add_argument("--pose-from-views", action="store_true",
                     "protocol): the shape's and poses' mirror bits come "
                     "from different images, so per-image gauge coin "
                     "flips raise the loss on random view pairings")
+p.add_argument("--gauge-reseed-threshold", type=float, default=0.0,
+               help=">0: abandon + re-init (new deterministic init key) "
+                    "when the live gauge_spread_deg metric exceeds this "
+                    "at --gauge-reseed-step (finding 21's detector; the "
+                    "lottery is init-only — the dataset is fixed)")
+p.add_argument("--gauge-reseed-step", type=int, default=10000)
+p.add_argument("--gauge-reseed-retries", type=int, default=3)
 p.add_argument("--lr", type=float, default=2e-4)
 p.add_argument("--views-per-step", type=int, default=3)
 p.add_argument("--rgb", action="store_true",
@@ -137,6 +144,9 @@ cfg = Config(
     pose_softmin_steps=args.softmin_steps,
     pose_consistency_weight=args.consistency_weight,
     pose_from_views=args.pose_from_views,
+    gauge_reseed_threshold_deg=args.gauge_reseed_threshold,
+    gauge_reseed_check_step=args.gauge_reseed_step,
+    gauge_reseed_max_retries=args.gauge_reseed_retries,
     predict_translation=args.predict_translation,
     pc_rgb=args.rgb,
     rgb_weight=args.rgb_weight,
@@ -178,6 +188,9 @@ out = {
     "heldout": final_ev,
     "train_subset": final_tr,
     "history": hist[-4:],
+    # auto-reseed audit trail (finding 21 detector): which attempts were
+    # abandoned and at what measured spread
+    "gauge_reseeds": [h for h in hist if "gauge_reseed" in h],
 }
 Path("artifacts").mkdir(exist_ok=True)
 Path(f"artifacts/pose_r2_{args.tag}.json").write_text(

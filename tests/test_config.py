@@ -91,6 +91,11 @@ def test_validate_traps():
             pose_consistency_weight=0.1,
             num_views=1,
         ).validate()
+    # the gauge-reseed detector reads a metric only pfv emits
+    with pytest.raises(ValueError, match="pose_from_views"):
+        Config(
+            predict_pose=True, gauge_reseed_threshold_deg=45.0
+        ).validate()
     # enum typo fails fast instead of falling through a dispatch chain
     with pytest.raises(ValueError, match="renderer"):
         Config(renderer="cuda").validate()

@@ -368,6 +368,41 @@ def test_pose_from_views_train_scan():
     assert np.isfinite(hist[-1]["loss_student"])
 
 
+def test_gauge_reseed_restarts_on_detected_failure():
+    """Auto-reseed (finding 21 detector): an untrained pfv run has a
+    large gauge_spread_deg, so a tight threshold must trigger a re-init
+    at the check step (history carries the gauge_reseed record, the step
+    counter restarts, training still reaches max_steps), while a loose
+    threshold must never fire."""
+    from dpcx.train import train
+
+    cfg = TINY.replace(
+        predict_pose=True,
+        pose_predict_num_candidates=2,
+        batch_size=4,
+        pose_from_views=True,
+        device_data=True,
+        log_every=2,
+        gauge_reseed_threshold_deg=1.0,  # untrained spread is ~50 deg
+        gauge_reseed_check_step=4,
+        gauge_reseed_max_retries=1,
+    )
+    ds = Dataset(make_dataset(cfg, 4, seed=0, gt_points=256), cfg)
+    _, hist = train(cfg, dataset=ds, max_steps=8, use_checkpoints=False)
+    reseeds = [h for h in hist if "gauge_reseed" in h]
+    assert len(reseeds) == 1, hist
+    assert reseeds[0]["gauge_spread_deg"] > 1.0
+    # the run restarted and still completed: post-reseed steps go 0 -> 8
+    assert hist[-1]["step"] == 8 and np.isfinite(hist[-1]["loss_total"])
+    # max_retries exhausted -> the second attempt is never re-rolled
+    steps_after = [h["step"] for h in hist[hist.index(reseeds[0]) + 1:]]
+    assert steps_after == sorted(steps_after)
+    # loose threshold: never fires
+    cfg2 = cfg.replace(gauge_reseed_threshold_deg=179.0)
+    _, hist2 = train(cfg2, dataset=ds, max_steps=6, use_checkpoints=False)
+    assert not [h for h in hist2 if "gauge_reseed" in h]
+
+
 def test_pose_from_views_host_fed_matches_keys():
     """The host-fed path builds the same pose_from_views batch fields as
     the device-resident sampler (images_v per target view, image_in2 for
