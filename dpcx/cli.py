@@ -56,6 +56,11 @@ def cmd_eval(args) -> None:
     # --all-views sweeps EVERY view per model and pools predictions — the
     # reference's predict_eval protocol (stronger statistic than view 0)
     view_idx = None if args.all_views else 0
+    if args.per_category and args.per_sample:
+        raise SystemExit(
+            "--per-sample is not supported with --per-category (the "
+            "per-category table aggregates; run per-sample on one slice)"
+        )
     if args.per_category:
         from dpcx.predict import evaluate_category_slices
 
@@ -67,6 +72,7 @@ def cmd_eval(args) -> None:
         metrics = evaluate(
             cfg, state.params, ds, view_idx=view_idx,
             flip_resolve=args.flip_resolve,
+            per_sample=args.per_sample,
         )
     print(json.dumps(metrics))
 
@@ -189,6 +195,14 @@ def main(argv=None) -> None:
                 "diagnostic only — changed-rate 0.0 on held-out inputs "
                 "is the measured outcome (the decoder co-flips with "
                 "the pose, POSE_RESULTS finding 15)",
+            )
+            sp.add_argument(
+                "--per-sample", action="store_true",
+                help="attach the per-sample forensics block (angular "
+                "error, object-side residual axis/angle, chamfer, view; "
+                "plus per-model gauge_spread_deg with --all-views) — "
+                "feed the JSON to scripts/pose_diagnose.py to classify "
+                "a failure mode (POSE_RESULTS findings 20-21)",
             )
         if name == "convert":
             sp.add_argument("-i", "--inp", required=True,

@@ -15,10 +15,13 @@ import numpy as np
 
 path = sys.argv[1]
 d = json.load(open(path))
-ps = d["heldout"].get("per_sample")
+# accept a pose_r2 artifact ({"heldout": {...}}) or a flat
+# `dpcx eval --all-views --per-sample` JSON
+d = d.get("heldout", d)
+ps = d.get("per_sample")
 if ps is None:
-    sys.exit(f"{path} has no per_sample block (re-run with the round-5 "
-             "pose_r2.py, which passes evaluate(per_sample=True))")
+    sys.exit(f"{path} has no per_sample block (pose_r2.py round-5+, or "
+             "`dpcx eval --all-views --per-sample`)")
 
 err = np.asarray(ps["err_deg"])
 axis = np.asarray(ps["res_axis"])          # [M, 3] object-side, unit
@@ -28,7 +31,7 @@ view = np.asarray(ps["view"])
 
 print(f"== {path}  ({len(err)} samples) ==")
 print(f"acc@30 {np.mean(err <= 30):.3f}   median {np.median(err):.1f} deg")
-gs = d["heldout"].get("pose_gauge_spread_deg")
+gs = d.get("pose_gauge_spread_deg")
 if gs is not None:
     print(f"pose_gauge_spread_deg {gs:.1f} (GT-free; healthy <~15, "
           "gauge failure >~45)")

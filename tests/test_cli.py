@@ -232,6 +232,18 @@ def test_eval_flip_resolve_flag(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "pose_acc_30deg_flip_resolved" in out
     assert "flip_resolve_changed" in out
+    # --per-sample forensics from the shipped surface (finding 21
+    # tooling); pooled eval also carries the gauge detector
+    cli.main(["eval", "-f", str(p), "-n", "2", "--all-views",
+              "--per-sample"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "per_sample" in out and "err_deg" in out["per_sample"]
+    assert "pose_gauge_spread_deg" in out
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="per-sample"):
+        cli.main(["eval", "-f", str(p), "-n", "2", "--per-category",
+                  "--per-sample"])
 
 
 def test_cli_rejects_invalid_config(tmp_path):
