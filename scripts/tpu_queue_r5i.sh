@@ -20,11 +20,10 @@ for i in $(seq 1 200); do
 done
 sleep 60
 
-timeout 300 python -c "
-import jax, jax.numpy as jnp
-x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
-print('probe ok', float(x.sum()), jax.devices())
-" > /tmp/r5i_probe.log 2>&1 || { echo PROBE_FAILED; exit 1; }
+# No internal probe: this queue is ALWAYS launched via
+# tpu_watchdog_r5.sh, whose probe already proved the worker up; a
+# second back-to-back probe here wedged the worker twice this session
+# (timed-out probe kills a client mid backend-init — NOTES pattern).
 
 run () {  # run <tag> <category> <seed> [extra args...]
   local tag="$1" cat="$2" seed="$3"; shift 3
